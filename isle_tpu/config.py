@@ -1,0 +1,159 @@
+"""Run-time configuration for isle-tpu.
+
+Mirrors the reference's compile-time constants (reference:
+include/hyperparams.h:8-82, include/types.h:23-86, include/parallel.h:11)
+as a dataclass so runs are reproducible without recompilation, plus
+TPU-specific knobs (mesh shape, kernel block sizes) that have no CPU
+counterpart.
+
+Defaults match the reference exactly unless marked [tpu].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperParams:
+    """Algorithm constants of the TSVD topic-model pipeline.
+
+    Names and defaults follow reference include/hyperparams.h:8-82.
+    """
+
+    # Provable-algorithm constants (hyperparams.h:8-12).
+    w0: float = 1.0
+    eps1: float = 1.0 / 60.0
+    eps2: float = 1.0 / 3.0
+    rho: float = 1.1
+    eps3: float = 5.0
+
+    # Eigensolver (hyperparams.h:31-40). "block_ks" is the default in the
+    # reference; "dense" runs the full dense eigendecomposition oracle
+    # (the reference's compare_LAPACK_Spectra pattern,
+    # src/denseMatrix.cpp:413-461) and is only sensible for small problems.
+    eigensolver: str = "block_ks"
+    block_ks_max_iters: int = 100
+    # [tpu] The reference uses 10 (hyperparams.h:39). On TPU a Krylov block
+    # narrower than one 128-lane register wastes nearly the whole MXU/VPU
+    # and makes the gather-SpMM latency bound, so we default to 128. The
+    # convergence criterion (per-eigenpair relative residual < tol) is
+    # unchanged, so results agree to tolerance.
+    block_ks_block_size: int = 128
+    block_ks_tolerance: float = 1e-4
+
+    # Streaming block size over documents (hyperparams.h:42).
+    doc_block_size: int = 1 << 18
+
+    # k-means configuration (hyperparams.h:46-68).
+    kmeans_init_method: str = "kmeanspp"  # kmeanspp | kmeansbb | kmeansmcmc
+    kmeans_init_reps: int = 1
+    enable_kmeans_on_lowd: bool = True
+    max_kmeans_lowd_reps: int = 10
+    kmeans_algo_for_sparse: str = "lloyds"  # lloyds | elkans
+    max_kmeans_reps: int = 10
+
+    # Topic construction (hyperparams.h:72-79).
+    avg_cluster_for_catchless_topic: bool = True
+    edge_topic_min_docs: int = 1
+    edge_topic_primary_ratio: float = 0.7
+
+    # Coherence reporting (hyperparams.h:74-75).
+    coherence_eps: float = 1e-5
+    coherence_num_words: int = 5
+
+    # Inference defaults (hyperparams.h:81-82; include/infer.h:52).
+    infer_iters_default: int = 15
+    infer_Lf_default: float = 10.0
+    infer_max_guesses: int = 10  # Lf-doubling retries (src/infer.cpp:416)
+
+    def count_gr(self, nz_docs: int, num_topics: int) -> int:
+        """#(freqs > zeta) requirement (src/sparseMatrix.cpp:370)."""
+        c = int(self.w0 * float(nz_docs) / (2.0 * float(num_topics)))
+        return max(c, 1)
+
+    def count_eq(self, nz_docs: int, num_topics: int) -> int:
+        """#(freqs == zeta) cap (src/sparseMatrix.cpp:371)."""
+        c = int(
+            math.ceil(3.0 * self.eps1 * self.w0 * float(nz_docs) / float(num_topics))
+        )
+        return max(c, 1)
+
+    def catchword_rank(
+        self, num_docs: int, num_topics: int, sample_rate: Optional[float] = None
+    ) -> int:
+        """r for the r-th-highest catchword statistic (src/trainer.cpp:580-584)."""
+        n = float(num_docs) if sample_rate is None else float(num_docs) * sample_rate
+        return int(math.floor(self.eps2 * self.w0 * n / (2.0 * float(num_topics))))
+
+    def model_rank_threshold(self, num_docs: int, num_topics: int) -> int:
+        """Per-topic doc-sum rank threshold (src/sparseMatrix.cpp:722)."""
+        return int(self.eps3 * self.w0 * float(num_docs) / (float(num_topics) * 2.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuConfig:
+    """[tpu] Hardware-mapping knobs; no reference counterpart."""
+
+    # Mesh axis over the document dimension of the term-document matrix.
+    # () means single-device execution.
+    mesh_shape: Tuple[int, ...] = ()
+    mesh_axis_names: Tuple[str, ...] = ("docs",)
+    # Pad widths for MXU efficiency.
+    lane: int = 128
+    sublane: int = 8
+    # Chunk length for nnz-streamed SpMM fallback (entries per scan step).
+    spmm_chunk: int = 1 << 21
+    # Use Pallas kernels where available (else pure-XLA fallbacks).
+    use_pallas: bool = True
+    # Matmul precision for parity-critical products (Gram matrices, QR).
+    precise_matmul: str = "highest"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Everything `ISLETrain` takes on the CLI (drivers/ISLETrain.cpp:9-32)
+    plus seeding (the reference uses unseeded rand(); we make determinism a
+    feature) and hyperparameter/TPU overrides."""
+
+    num_topics: int
+    vocab_size: int = 0  # 0 = infer from data (src/trainer.cpp:249-261)
+    num_docs: int = 0  # 0 = infer from data
+    tf_idf: bool = False
+    sample_docs: bool = False
+    sample_rate: float = 0.0
+    compute_edge_topics: bool = False
+    max_edge_topics: int = 0
+    seed: int = 0
+    hyper: HyperParams = dataclasses.field(default_factory=HyperParams)
+    tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+
+    def log_dir_name(self) -> str:
+        """Config-encoded run-directory name (src/utils.cpp:28-48)."""
+        h = self.hyper
+        return (
+            f"log_t_{self.num_topics}_eps1_{h.eps1:.6f}_eps2_{h.eps2:.6f}"
+            f"_eps3_{h.eps3:.6f}_rho_{h.rho:.2f}"
+            f"_sample_{int(self.sample_docs)}_rate_{self.sample_rate:.3f}"
+            f"_tfidf_{int(self.tf_idf)}_seed_{self.seed}"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    """Everything `ISLEInfer` takes on the CLI (drivers/ISLEInfer.cpp:10-36)."""
+
+    num_topics: int
+    vocab_size: int
+    iters: int = 0  # 0 = INFER_ITERS_DEFAULT
+    Lf: float = 0.0  # 0 = INFER_LF_DEAFULT
+    hyper: HyperParams = dataclasses.field(default_factory=HyperParams)
+    tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+
+    def resolved_iters(self) -> int:
+        return self.iters if self.iters > 0 else self.hyper.infer_iters_default
+
+    def resolved_Lf(self) -> float:
+        return self.Lf if self.Lf > 0.0 else self.hyper.infer_Lf_default

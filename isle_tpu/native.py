@@ -1,0 +1,127 @@
+"""ctypes bindings to the native C++ I/O library (libisle_io.so).
+
+The reference implements its I/O layer natively (mmap parse of TDF triples,
+include/utils.h:96-229; buffered mmap writer with hand-rolled formatters,
+include/utils.h:232-487). We do the same: native/isle_io.cpp provides a
+multi-pass mmap parser and a buffered text writer; this module loads it and
+falls back to numpy implementations when the shared library has not been
+built (e.g. fresh checkouts before `make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "native", "libisle_io.so"),
+    os.path.join(os.path.dirname(__file__), "libisle_io.so"),
+]
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+            except OSError:
+                continue
+            lib.isle_count_entries.restype = ctypes.c_int64
+            lib.isle_count_entries.argtypes = [ctypes.c_char_p]
+            lib.isle_parse_tdf.restype = ctypes.c_int64
+            lib.isle_parse_tdf.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
+            lib.isle_write_sparse_model.restype = ctypes.c_int64
+            lib.isle_write_sparse_model.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+            ]
+            _lib = lib
+            return _lib
+    return None
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def parse_tdf(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse 1-based `<doc> <word> <count>` lines into 0-based int64 arrays.
+
+    Native path: two-pass mmap parser (count then fill). Fallback: numpy
+    fromstring-style parse.
+    """
+    lib = _load()
+    if lib is not None:
+        n = lib.isle_count_entries(path.encode())
+        if n < 0:
+            raise OSError(f"cannot read {path}")
+        docs = np.empty(n, dtype=np.int64)
+        words = np.empty(n, dtype=np.int64)
+        counts = np.empty(n, dtype=np.int64)
+        got = lib.isle_parse_tdf(
+            path.encode(),
+            docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+        )
+        if got < 0:
+            raise OSError(f"parse failed for {path}")
+        return docs[:got] - 1, words[:got] - 1, counts[:got]
+    return _parse_tdf_numpy(path)
+
+
+def _parse_tdf_numpy(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        data = f.read()
+    arr = np.array(data.split(), dtype=np.int64)
+    if arr.size % 3 != 0:
+        raise ValueError(f"{path}: token count {arr.size} not a multiple of 3")
+    arr = arr.reshape(-1, 3)
+    return arr[:, 0] - 1, arr[:, 1] - 1, arr[:, 2]
+
+
+def write_sparse_model(
+    path: str, model_colmajor: np.ndarray, base: int = 1
+) -> None:
+    """Write `<topic> <word> <weight>` lines for entries > 1e-8, matching
+    DenseMatrix::write_to_file_as_sparse (src/denseMatrix.cpp:153-187):
+    topic-major order, `base`-based ids, tab separators."""
+    model = np.ascontiguousarray(model_colmajor, dtype=np.float32)
+    vocab, ntopics = model.shape
+    lib = _load()
+    if lib is not None:
+        rc = lib.isle_write_sparse_model(
+            path.encode(),
+            model.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            vocab,
+            ntopics,
+            base,
+        )
+        if rc < 0:
+            raise OSError(f"cannot write {path}")
+        return
+    with open(path, "w") as f:
+        for t in range(ntopics):
+            col = model[:, t]
+            idx = np.nonzero(col > 1e-8)[0]
+            for w in idx:
+                f.write(f"{t + base}\t{w + base}\t{col[w]:.6f}\n")
