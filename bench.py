@@ -1,0 +1,153 @@
+"""isle-tpu benchmark: end-to-end train wall-clock on a synthetic corpus at
+UCI NYTimes scale (the reference's primary workload, BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+
+vs_baseline methodology: the reference's 28-thread MKL CPU baseline cannot
+run here (no MKL, 1-core host), so the baseline proxy is THIS pipeline
+executed on the jax CPU backend on a 1/`CPU_SCALE` document slice of the
+same corpus, linearly extrapolated in docs/nnz (the pipeline is linear in
+nnz for fixed vocab and k). The proxy underestimates a real 28-thread
+Xeon by roughly the core count; see BENCH_NOTES.md for the accounting.
+
+Usage:
+  python bench.py              # NYTimes scale on the default (TPU) backend
+  python bench.py --small      # Enron-ish scale, quick sanity run
+  python bench.py --no-cpu-proxy   # skip the CPU baseline measurement
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+import numpy as np
+
+NYT = dict(vocab=102_660, docs=300_000, nnz=48_000_000, k=100)
+SMALL = dict(vocab=28_000, docs=40_000, nnz=3_000_000, k=20)
+TINY = dict(vocab=2_000, docs=3_000, nnz=120_000, k=10)
+CPU_SCALE = 16
+
+
+def synth_corpus(vocab: int, docs: int, nnz: int, seed: int = 0):
+    """Zipf-ish synthetic bag-of-words with planted topic blocks."""
+    rng = np.random.default_rng(seed)
+    d = rng.integers(0, docs, nnz, dtype=np.int64)
+    # Quadratic skew toward low word ids (Zipf-like head)
+    u = rng.random(nnz)
+    w = (vocab * u * u).astype(np.int64)
+    # Planted structure: each doc prefers one of 64 word bands.
+    band = (d % 64).astype(np.int64)
+    use_band = rng.random(nnz) < 0.5
+    band_w = band * (vocab // 64) + (w % max(vocab // 64, 1))
+    w = np.where(use_band, band_w, w)
+    key = d * vocab + w
+    key = np.unique(key)
+    d = (key // vocab).astype(np.int64)
+    w = (key % vocab).astype(np.int64)
+    c = rng.integers(1, 8, len(key), dtype=np.int64)
+    return d, w, c
+
+
+def run_pipeline(platform: str, shape: dict, seed: int, queue=None):
+    if platform == "cpu":
+        os.environ.setdefault("XLA_FLAGS", "")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    # Persistent compilation cache: first round pays jit compiles, later
+    # rounds reuse them (same shapes).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/isle_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from isle_tpu.config import HyperParams, TrainConfig
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.trainer import Trainer
+
+    d, w, c = synth_corpus(shape["vocab"], shape["docs"], shape["nnz"], seed)
+    corpus = Corpus.from_entries(
+        d, w, c, vocab_size=shape["vocab"], num_docs=shape["docs"],
+        sort_dedup=True,
+    )
+    cfg = TrainConfig(num_topics=shape["k"], seed=seed)
+    out_dir = os.path.join("/tmp", f"isle_bench_{platform}")
+    tr = Trainer(cfg, output_dir=out_dir, quiet=True)
+    tr.corpus = corpus
+    tr._post_ingest()
+
+    t0 = time.perf_counter()
+    tr.train()
+    train_s = time.perf_counter() - t0
+    gflops = tr.op_counter.gflops()
+    result = dict(
+        train_s=train_s,
+        svd_gflops=gflops,
+        platform=str(jax.devices()[0].platform),
+        nnz=corpus.nnz,
+    )
+    if queue is not None:
+        queue.put(result)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--no-cpu-proxy", action="store_true")
+    args = ap.parse_args()
+    shape = TINY if args.tiny else (SMALL if args.small else NYT)
+    label = "tiny" if args.tiny else ("small" if args.small else "nytimes")
+
+    res = run_pipeline("default", shape, seed=0)
+
+    vs_baseline = 0.0
+    if not args.no_cpu_proxy:
+        cpu_shape = dict(
+            vocab=shape["vocab"],
+            docs=shape["docs"] // CPU_SCALE,
+            nnz=shape["nnz"] // CPU_SCALE,
+            k=shape["k"],
+        )
+        # CPU proxy in a subprocess so the backend choice doesn't leak.
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        p = ctx.Process(target=run_pipeline, args=("cpu", cpu_shape, 0, q))
+        p.start()
+        cpu_res = q.get()
+        p.join()
+        cpu_est = cpu_res["train_s"] * CPU_SCALE
+        vs_baseline = cpu_est / res["train_s"]
+        print(
+            f"# cpu proxy: {cpu_res['train_s']:.1f}s at 1/{CPU_SCALE} scale "
+            f"-> est {cpu_est:.1f}s full; tpu {res['train_s']:.1f}s",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"e2e train wall-clock, synthetic {label} "
+                    f"({shape['vocab']} vocab x {shape['docs']} docs, "
+                    f"{res['nnz']} nnz, k={shape['k']}); "
+                    f"SVD SpMM {res['svd_gflops']:.1f} GFLOP/s on "
+                    f"{res['platform']}"
+                ),
+                "value": round(res["train_s"], 2),
+                "unit": "s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

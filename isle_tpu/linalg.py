@@ -1,0 +1,224 @@
+"""Truncated symmetric eigensolver (the SVD engine).
+
+Rebuilds the reference's restarted block Krylov-Schur solver
+(block-ks/restarted_block_ks.h:18-321) as a thick-restart block Lanczos /
+Krylov-Schur in JAX:
+
+  - same matrix-free operator S X = B (B^T X) (include/matUtils.h:336-365),
+  - same convergence criterion: per-eigenpair relative residual
+    ||H_tail[:, j]|| / lambda_j < tol, converged count = longest prefix
+    (restarted_block_ks.h:276-296),
+  - same restart cap semantics (BLOCK_KS_MAX_ITERS).
+
+TPU redesign: the reference uses Krylov block width 10 and therefore ~11
+narrow SpMMs per restart; a width-10 product wastes >90% of the 128-wide
+vector lanes and makes the gather-SpMM latency bound. We round the block
+width AND the kept Ritz count up to multiples of `blk` (default 128), so
+each restart is s = ceil(nev/blk) full-width products. The subspace grown
+per restart matches the reference's (~2 nev + blk), so convergence behaves
+the same while every product runs at full lane utilization. Orthogonality
+is maintained with the same 2x DGKS correction the reference uses
+(restarted_block_ks.h:83-91), plus one extra post-QR DGKS pass that also
+repairs near rank deficiency (the reference's random-refill path,
+:106-132, is replaced by absorbing the correction into R).
+
+All dense products use fp32 with HIGHEST matmul precision (true fp32 MXU
+accumulation), matching the reference's sgemm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class EigResult:
+    evals: np.ndarray  # (nev,) descending
+    evecs: jax.Array  # (dim, nev)
+    nconv: int
+    restarts: int
+    op_calls: int
+    op_seconds: float
+
+
+def _dgks_project(V: jax.Array, F: jax.Array, rounds: int = 2):
+    """F <- (I - V V^T) F applied `rounds`+1 times; returns (F, coeffs)
+    with coeffs = accumulated V^T F (the Hk column block). Inactive columns
+    of V must be zero."""
+    C = jnp.einsum("dm,db->mb", V, F, precision=HI)
+    F = F - jnp.einsum("dm,mb->db", V, C, precision=HI)
+    for _ in range(rounds):
+        C2 = jnp.einsum("dm,db->mb", V, F, precision=HI)
+        F = F - jnp.einsum("dm,mb->db", V, C2, precision=HI)
+        C = C + C2
+    return F, C
+
+
+def _qr_ortho(V: jax.Array, F: jax.Array):
+    """QR of F with one extra DGKS pass against V absorbed into R, so the
+    result stays orthonormal to V even under near rank deficiency."""
+    Q1, R1 = jnp.linalg.qr(F)
+    C2 = jnp.einsum("dm,db->mb", V, Q1, precision=HI)
+    Q1 = Q1 - jnp.einsum("dm,mb->db", V, C2, precision=HI)
+    Q2, R2 = jnp.linalg.qr(Q1)
+    return Q2, jnp.matmul(R2, R1, precision=HI), C2 @ R1
+
+
+def block_ks(
+    op: Callable[[jax.Array], jax.Array],
+    dim: int,
+    nev: int,
+    blk: int = 128,
+    tol: float = 1e-4,
+    max_restarts: int = 100,
+    steps_per_restart: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    timer=None,
+) -> EigResult:
+    """Top-`nev` eigenpairs of the symmetric PSD operator `op` on R^dim.
+
+    op maps (dim, blk) -> (dim, blk). Shapes: keep = round_up(nev, blk)
+    Ritz pairs at restart; square Krylov dimension K = keep + s*blk with
+    s = steps_per_restart (default ceil(keep/blk)); ncv = K + blk basis
+    columns, mirroring the reference's ncv = 2 nev + blk.
+    """
+    import time
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # Auto-shrink the block so the Krylov space fits the operator dimension
+    # (small vocabularies); callers with nev too close to dim should use
+    # the dense oracle instead.
+    blk = min(blk, max(dim // 2, 1))
+    while True:
+        keep = _round_up(nev, blk)
+        s = steps_per_restart or max(1, keep // blk)
+        K = keep + s * blk
+        ncv = K + blk
+        if ncv <= dim or blk == 1:
+            break
+        blk = max(blk // 2, 1)
+    if ncv > dim:
+        raise ValueError(
+            f"ncv={ncv} exceeds dim={dim} even at blk=1; use the dense "
+            f"eigensolver (nev={nev})"
+        )
+
+    expand_step = _make_expand_step(op)
+    op_calls = 0
+    op_seconds = 0.0
+
+    # --- init: random orthonormal start block at columns [0, blk). ---
+    V = jnp.zeros((dim, ncv), jnp.float32)
+    H = jnp.zeros((ncv, K), jnp.float32)
+    Q0, _ = jnp.linalg.qr(jax.random.normal(key, (dim, blk), jnp.float32))
+    V = V.at[:, :blk].set(Q0)
+
+    # Warm-up call so the op timer measures execution, not compilation
+    # (the expand step is shape-stable across m; one compile serves all).
+    jax.block_until_ready(expand_step(V, H, 0))
+
+    m = 0  # active square columns of H
+    restarts = 0
+    nconv = 0
+    evals = None
+    while True:
+        # --- expand to K ---
+        while m < K:
+            t0 = time.perf_counter()
+            V, H = expand_step(V, H, m)
+            jax.block_until_ready(V)
+            op_seconds += time.perf_counter() - t0
+            op_calls += 1
+            m += blk
+        # --- truncate (thick restart, no locking) ---
+        Hs = H[:K, :K]
+        Hs = (Hs + Hs.T) * 0.5
+        w, W = jnp.linalg.eigh(Hs)
+        order = jnp.argsort(-w)
+        w = w[order]
+        W = W[:, order]
+        resid = jnp.matmul(H[K:ncv, :K], W, precision=HI)  # (blk, K)
+
+        norms = jnp.linalg.norm(resid[:, :nev], axis=0) / jnp.abs(w[:nev])
+        norms_h = np.asarray(norms)
+        bad = np.flatnonzero(norms_h >= tol)
+        nconv = int(bad[0]) if len(bad) else nev
+        evals = np.asarray(w[:nev])
+
+        if timer is not None:
+            timer.diag(
+                f"block_ks restart {restarts}: nconv={nconv}/{nev} "
+                f"max_resid={norms_h.max():.2e}"
+            )
+        done = nconv >= nev or restarts >= max_restarts
+        # Rotate kept Ritz vectors to the front; new start block follows.
+        Vk = jnp.matmul(V[:, :K], W[:, :keep], precision=HI)
+        Vnew = jnp.zeros_like(V)
+        Vnew = Vnew.at[:, :keep].set(Vk)
+        Vnew = Vnew.at[:, keep : keep + blk].set(V[:, K:ncv])
+        Hnew = jnp.zeros_like(H)
+        Hnew = Hnew.at[jnp.arange(keep), jnp.arange(keep)].set(w[:keep])
+        Hnew = Hnew.at[keep : keep + blk, :keep].set(resid[:, :keep])
+        V, H = Vnew, Hnew
+        m = keep
+        if done:
+            break
+        restarts += 1
+
+    return EigResult(
+        evals=evals,
+        evecs=V[:, :nev],
+        nconv=nconv,
+        restarts=restarts,
+        op_calls=op_calls,
+        op_seconds=op_seconds,
+    )
+
+
+def _make_expand_step(op):
+    @jax.jit
+    def expand_step(V: jax.Array, H: jax.Array, m) -> Tuple[jax.Array, jax.Array]:
+        dim, ncv = V.shape
+        blk = ncv - H.shape[1]
+        Vk = jax.lax.dynamic_slice_in_dim(V, m, blk, axis=1)
+        F = op(Vk)
+        # Orthogonalize against all active columns (inactive are zero).
+        F, Hk = _dgks_project(V, F, rounds=2)
+        Q, R, Cfix = _qr_ortho(V, F)
+        Hk = Hk + Cfix
+        # Column block m..m+blk of H: coefficients Hk with R at rows m+blk.
+        col = jax.lax.dynamic_update_slice(Hk, R, (m + blk, 0))
+        H = jax.lax.dynamic_update_slice(H, col, (0, m))
+        V = jax.lax.dynamic_update_slice(V, Q, (0, m + blk))
+        return V, H
+
+    return expand_step
+
+
+def dense_topk_eigh(S: np.ndarray, nev: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense oracle (the reference's LAPACK cross-check pattern,
+    src/denseMatrix.cpp:413-461)."""
+    w, v = np.linalg.eigh(S.astype(np.float64))
+    order = np.argsort(-w)
+    return w[order][:nev], v[:, order][:, :nev]
+
+
+def align_signs(U: np.ndarray, U_ref: np.ndarray) -> np.ndarray:
+    """Flip eigenvector signs to match a reference (sign-insensitive
+    comparison, as in compare_LAPACK_Spectra src/denseMatrix.cpp:436-449)."""
+    s = np.sign(np.sum(U * U_ref, axis=0))
+    s[s == 0] = 1.0
+    return U * s

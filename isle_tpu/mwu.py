@@ -1,0 +1,194 @@
+"""Batched multiplicative-weight-update (MWU) inference.
+
+Reference semantics (src/infer.cpp:364-493):
+  - per doc, words whose total model mass is <= 1e-10 are dropped from the
+    slice (:375-386); `words_in_doc` counts ALL words, `nnzs_in_doc` only
+    the kept ones.
+  - MWU: w starts uniform; per iteration t (0-based),
+        grad = M^T (a / (M w)),  eta = sqrt(2 ln k / (t+1)) / Lf,
+        w <- normalize(w * exp(eta * grad))            (:417-427)
+    after `iters` iterations, converged iff sum(w) is a normal float within
+    1% of 1 (:429-441); on non-finite sums Lf doubles and the whole run
+    retries, up to 10 guesses; a finite-but-off sum retries with the SAME
+    Lf (and therefore the same outcome) — i.e. it is simply unconverged.
+  - log-likelihood (:469-493): s = sum_d a_d log((M w)_d);
+    llh_per_doc = s * avg_doc_sz of the inference corpus,
+    llh_weighted = s * words_in_doc. Unconverged docs report (0, 0).
+
+TPU design: docs are padded to a common nnz width and processed in blocks;
+the model rows for a block are gathered ONCE and reused across all MWU
+iterations and Lf retries (they do not depend on w), so the inner loop is
+pure batched matmul on the MXU: z = einsum(Mb, w), grad = einsum(Mb, a/z).
+The Lf-doubling retry runs vectorized with a per-doc Lf and converged mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HI = jax.lax.Precision.HIGHEST
+MAX_NNZS = 20000  # include/infer.h:52
+
+
+@dataclasses.dataclass
+class InferBatch:
+    """Host-side padded layout of the inference corpus."""
+
+    word_idx: np.ndarray  # (num_docs, L) int32, pad = vocab
+    a: np.ndarray  # (num_docs, L) float32, pad = 0
+    words_in_doc: np.ndarray  # (num_docs,) int32 (pre-filter count)
+    num_docs: int
+    avg_doc_sz: float
+
+
+def build_infer_batch(corpus, model_mass: np.ndarray, pad_to: int = 8) -> InferBatch:
+    """Pack a normalized-to-one corpus into padded per-doc arrays, dropping
+    words with model mass <= 1e-10 (src/infer.cpp:375-386)."""
+    offsets, rows, vals = corpus.offsets, corpus.rows, corpus.vals
+    D, V = corpus.num_docs, corpus.vocab_size
+    keep = model_mass[rows] > 1e-10
+    lengths = np.diff(offsets)
+    kept_len = np.add.reduceat(
+        keep.astype(np.int64), np.minimum(offsets[:-1], max(len(rows) - 1, 0))
+    ) if len(rows) else np.zeros(D, np.int64)
+    if len(rows):
+        kept_len[lengths == 0] = 0
+    L = int(max(kept_len.max() if D else 0, 1))
+    L = ((L + pad_to - 1) // pad_to) * pad_to
+    assert L < MAX_NNZS, f"doc with {L} nnz exceeds MAX_NNZS={MAX_NNZS}"
+
+    word_idx = np.full((D, L), V, np.int32)
+    a = np.zeros((D, L), np.float32)
+    doc_ids = np.repeat(np.arange(D), lengths)
+    within = np.zeros(len(rows), np.int64)
+    # position within the doc among KEPT entries
+    csum = np.cumsum(keep)
+    start_csum = np.concatenate([[0], csum])[offsets[:-1]]
+    within = csum - 1 - np.repeat(start_csum, lengths)
+    kd = doc_ids[keep]
+    kw = within[keep]
+    word_idx[kd, kw] = rows[keep]
+    a[kd, kw] = vals[keep]
+    return InferBatch(
+        word_idx=word_idx,
+        a=a,
+        words_in_doc=lengths.astype(np.int32),
+        num_docs=D,
+        avg_doc_sz=corpus.avg_doc_sz,
+    )
+
+
+@partial(jax.jit, static_argnames=("iters", "max_guesses"))
+def _mwu_block(
+    Mw: jax.Array,  # (V+1, k) model with zero spill row
+    word_idx: jax.Array,  # (bs, L)
+    a: jax.Array,  # (bs, L)
+    iters: int,
+    Lf0: jax.Array,  # scalar
+    max_guesses: int,
+):
+    bs, L = word_idx.shape
+    k = Mw.shape[1]
+    Mb = Mw[word_idx]  # (bs, L, k) gathered once
+    has_words = jnp.sum(a > 0, axis=1) > 0
+
+    log_k = jnp.float32(math.log(k))
+
+    def run(Lf):  # Lf: (bs,)
+        w = jnp.full((bs, k), 1.0 / k, jnp.float32)
+
+        def it_body(t, w):
+            z = jnp.einsum("blk,bk->bl", Mb, w, precision=HI)
+            ratio = jnp.where(a > 0, a / z, 0.0)
+            g = jnp.einsum("blk,bl->bk", Mb, ratio, precision=HI)
+            eta = jnp.sqrt(2.0 * log_k / (t + 1).astype(jnp.float32)) / Lf
+            w = w * jnp.exp(eta[:, None] * g)
+            w = w / jnp.sum(w, axis=1, keepdims=True)
+            return w
+
+        return jax.lax.fori_loop(0, iters, it_body, w)
+
+    def guess_body(state):
+        _, w, conv, Lf, g = state
+        w_new = run(Lf)
+        s = jnp.sum(w_new, axis=1)
+        finite = jnp.isfinite(s) & (s != 0.0)
+        ok = finite & (jnp.abs(1.0 - s) <= 0.01) & has_words
+        # finite-but-off docs never converge (same Lf -> same result);
+        # non-finite docs double Lf and retry.
+        newly = ok & (~conv)
+        w = jnp.where(newly[:, None], w_new, w)
+        settled = conv | ok | (finite & (jnp.abs(1.0 - s) > 0.01)) | ~has_words
+        Lf = jnp.where(settled, Lf, Lf * 2.0)
+        return settled.all(), w, conv | ok, Lf, g + 1
+
+    def guess_cond(state):
+        all_settled, _, _, _, g = state
+        return (~all_settled) & (g < max_guesses)
+
+    init = (
+        jnp.bool_(False),
+        jnp.full((bs, k), 1.0 / k, jnp.float32),
+        jnp.zeros((bs,), bool),
+        jnp.full((bs,), Lf0, jnp.float32),
+        jnp.int32(0),
+    )
+    _, w, conv, _, _ = jax.lax.while_loop(guess_cond, guess_body, init)
+
+    z = jnp.einsum("blk,bk->bl", Mb, w, precision=HI)
+    logz = jnp.where(a > 0, jnp.log(z), 0.0)
+    s = jnp.sum(a * logz, axis=1)
+    return w, conv, s
+
+
+def infer_all(
+    model: np.ndarray,  # (vocab, k) column-l1-normalized topic model
+    batch: InferBatch,
+    iters: int,
+    Lf: float,
+    block_size: int = 0,
+    max_guesses: int = 10,
+):
+    """Run MWU over every doc. Returns (weights (D, k), converged (D,),
+    llh_per_doc (D,), llh_weighted (D,)). Unconverged docs keep uniform
+    weights and zero llh (drivers/ISLEInfer.cpp:95-111 behavior)."""
+    V, k = model.shape
+    D, L = batch.word_idx.shape
+    if block_size <= 0:
+        # keep the gathered block under ~2 GiB
+        block_size = max(1, min(D, (1 << 29) // max(L * k, 1)))
+        block_size = int(2 ** math.floor(math.log2(block_size)))
+    Mw = jnp.concatenate(
+        [jnp.asarray(model, jnp.float32), jnp.zeros((1, k), jnp.float32)]
+    )
+    weights = np.full((D, k), 1.0 / k, np.float32)
+    conv = np.zeros(D, bool)
+    s_all = np.zeros(D, np.float32)
+    Lf0 = jnp.float32(Lf)
+    for lo in range(0, D, block_size):
+        hi = min(lo + block_size, D)
+        bs = hi - lo
+        wi = batch.word_idx[lo:hi]
+        av = batch.a[lo:hi]
+        if bs < block_size:  # pad the tail block to the static shape
+            wi = np.concatenate(
+                [wi, np.full((block_size - bs, L), V, np.int32)]
+            )
+            av = np.concatenate(
+                [av, np.zeros((block_size - bs, L), np.float32)]
+            )
+        w, c, s = _mwu_block(Mw, jnp.asarray(wi), jnp.asarray(av), iters, Lf0, max_guesses)
+        weights[lo:hi] = np.asarray(w)[:bs]
+        conv[lo:hi] = np.asarray(c)[:bs]
+        s_all[lo:hi] = np.asarray(s)[:bs]
+    llh_doc = np.where(conv, s_all * np.float32(batch.avg_doc_sz), 0.0)
+    llh_weighted = np.where(conv, s_all * batch.words_in_doc, 0.0)
+    weights = np.where(conv[:, None], weights, np.float32(1.0 / k))
+    return weights, conv, llh_doc, llh_weighted

@@ -105,13 +105,15 @@ def write_sparse_model(
     """Write `<topic> <word> <weight>` lines for entries > 1e-8, matching
     DenseMatrix::write_to_file_as_sparse (src/denseMatrix.cpp:153-187):
     topic-major order, `base`-based ids, tab separators."""
-    model = np.ascontiguousarray(model_colmajor, dtype=np.float32)
+    model = np.asarray(model_colmajor, dtype=np.float32)
     vocab, ntopics = model.shape
     lib = _load()
     if lib is not None:
+        # The C writer indexes column-major: model[w + t * vocab].
+        buf = np.ascontiguousarray(model.T)
         rc = lib.isle_write_sparse_model(
             path.encode(),
-            model.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             vocab,
             ntopics,
             base,
@@ -124,4 +126,4 @@ def write_sparse_model(
             col = model[:, t]
             idx = np.nonzero(col > 1e-8)[0]
             for w in idx:
-                f.write(f"{t + base}\t{w + base}\t{col[w]:.6f}\n")
+                f.write(f"{t + base}\t{w + base}\t{col[w]:.10f}\n")

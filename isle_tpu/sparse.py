@@ -1,0 +1,213 @@
+"""Device-resident sparse term-document matrices and the SpMM primitives
+every hot kernel in the pipeline reduces to.
+
+Design (TPU-first; replaces reference include/matUtils.h:15-419):
+
+The reference keeps the matrix in MKL CSC + a converted CSR copy and drives
+everything through `csrmm`. On TPU we keep the SAME dual-order idea but as
+flat COO index arrays — one copy sorted by document, one sorted by word —
+padded to a static length. The two SpMM directions are then
+
+    B^T X : out[d, :] = sum_{entries e with doc(e)=d} val(e) * X[word(e), :]
+    B  Y  : out[w, :] = sum_{entries e with word(e)=w} val(e) * Y[doc(e), :]
+
+i.e. a row gather followed by a segment sum over the sorted index — both
+directions stream the nnz arrays in chunks through a `lax.scan` with a
+scatter-add into the output, keeping the gathered intermediate at
+(chunk, width) regardless of corpus size. This is the analog of the
+reference's nnz-balanced row-block streaming (include/matUtils.h:244-268).
+
+Width should be a multiple of 128 (lane width) for efficiency; callers pad.
+
+After thresholding, B = diag(sqrt(zeta)) * P with P binary
+(src/sparseMatrix.cpp:1349), so B's values are stored explicitly but remain
+per-word constants; the layout does not exploit this yet (a Pallas kernel
+may later).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_CHUNK = 1 << 20
+
+
+def _pad_to(x: np.ndarray, n: int, fill) -> np.ndarray:
+    if len(x) == n:
+        return x
+    out = np.full(n, fill, dtype=x.dtype)
+    out[: len(x)] = x
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DocSparse:
+    """A sparse (vocab x num_docs) matrix as dual-sorted COO with static
+    padded length. Padded entries carry word == vocab, doc == num_docs and
+    val == 0, and land in spill rows that callers slice off.
+
+    d_*: sorted by (doc, word) — the CSC ordering.
+    w_*: sorted by (word, doc) — the CSR ordering.
+    """
+
+    d_word: jax.Array
+    d_doc: jax.Array
+    d_val: jax.Array
+    w_word: jax.Array
+    w_doc: jax.Array
+    w_val: jax.Array
+    vocab: int = dataclasses.field(metadata=dict(static=True))
+    num_docs: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def padded_nnz(self) -> int:
+        return self.d_word.shape[0]
+
+    @staticmethod
+    def build(
+        words: np.ndarray,
+        docs: np.ndarray,
+        vals: np.ndarray,
+        vocab: int,
+        num_docs: int,
+        chunk: int = DEFAULT_CHUNK,
+        doc_sorted: bool = True,
+    ) -> "DocSparse":
+        """Host-side constructor from COO arrays (doc-sorted unless stated)."""
+        words = np.asarray(words, np.int32)
+        docs = np.asarray(docs, np.int32)
+        vals = np.asarray(vals, np.float32)
+        nnz = len(words)
+        if not doc_sorted:
+            order = np.lexsort((words, docs))
+            words, docs, vals = words[order], docs[order], vals[order]
+        worder = np.lexsort((docs, words))
+        npad = max(chunk, ((nnz + chunk - 1) // chunk) * chunk)
+        return DocSparse(
+            d_word=jnp.asarray(_pad_to(words, npad, vocab)),
+            d_doc=jnp.asarray(_pad_to(docs, npad, num_docs)),
+            d_val=jnp.asarray(_pad_to(vals, npad, 0.0)),
+            w_word=jnp.asarray(_pad_to(words[worder], npad, vocab)),
+            w_doc=jnp.asarray(_pad_to(docs[worder], npad, num_docs)),
+            w_val=jnp.asarray(_pad_to(vals[worder], npad, 0.0)),
+            vocab=vocab,
+            num_docs=num_docs,
+            nnz=nnz,
+        )
+
+    @staticmethod
+    def from_corpus(corpus, chunk: int = DEFAULT_CHUNK) -> "DocSparse":
+        return DocSparse.build(
+            corpus.rows,
+            corpus.doc_ids(),
+            corpus.vals,
+            corpus.vocab_size,
+            corpus.num_docs,
+            chunk=chunk,
+        )
+
+
+def _chunked_gather_segsum(
+    idx_gather: jax.Array,
+    idx_segment: jax.Array,
+    vals: jax.Array,
+    X: jax.Array,
+    num_segments: int,
+    chunk: int,
+) -> jax.Array:
+    """out[s, :] = sum over entries e with idx_segment[e]==s of
+    vals[e] * X[idx_gather[e], :], streamed in nnz chunks."""
+    n = idx_gather.shape[0]
+    assert n % chunk == 0, (n, chunk)
+    nchunks = n // chunk
+    width = X.shape[1]
+    ig = idx_gather.reshape(nchunks, chunk)
+    isg = idx_segment.reshape(nchunks, chunk)
+    vs = vals.reshape(nchunks, chunk)
+
+    def body(acc, args):
+        g_idx, s_idx, v = args
+        g = jnp.take(X, g_idx, axis=0, fill_value=0.0) * v[:, None]
+        acc = acc.at[s_idx].add(g, indices_are_sorted=True)
+        return acc, None
+
+    init = jnp.zeros((num_segments, width), dtype=X.dtype)
+    out, _ = jax.lax.scan(body, init, (ig, isg, vs))
+    return out
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def bt_x(sp: DocSparse, X: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
+    """B^T X: (num_docs, width) from X (vocab[+1], width).
+
+    X may have vocab or vocab+1 rows; gathers of the padding word id use
+    fill_value 0 when X has exactly `vocab` rows."""
+    chunk = min(chunk, sp.padded_nnz)
+    out = _chunked_gather_segsum(
+        sp.d_word, sp.d_doc, sp.d_val, X, sp.num_docs + 1, chunk
+    )
+    return out[: sp.num_docs]
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def b_y(sp: DocSparse, Y: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
+    """B Y: (vocab, width) from Y (num_docs[+1], width)."""
+    chunk = min(chunk, sp.padded_nnz)
+    out = _chunked_gather_segsum(
+        sp.w_doc, sp.w_word, sp.w_val, Y, sp.vocab + 1, chunk
+    )
+    return out[: sp.vocab]
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def gram_x(sp: DocSparse, X: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
+    """(B B^T) X — the eigensolver operator (reference
+    include/matUtils.h:336-365 `MKL_SpSpTrProd::multiply`)."""
+    return b_y(sp, bt_x(sp, X, chunk), chunk)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def doc_l2sq(sp: DocSparse, chunk: int = DEFAULT_CHUNK) -> jax.Array:
+    """Per-document squared l2 norms (src/sparseMatrix.cpp:1679-1686)."""
+    chunk = min(chunk, sp.padded_nnz)
+    n = sp.padded_nnz // chunk
+
+    def body(acc, args):
+        d, v = args
+        return acc.at[d].add(v * v, indices_are_sorted=True), None
+
+    out, _ = jax.lax.scan(
+        body,
+        jnp.zeros(sp.num_docs + 1, jnp.float32),
+        (sp.d_doc.reshape(n, chunk), sp.d_val.reshape(n, chunk)),
+    )
+    return out[: sp.num_docs]
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def frobenius_sq(sp: DocSparse, chunk: int = DEFAULT_CHUNK) -> jax.Array:
+    return jnp.sum(doc_l2sq(sp, chunk))
+
+
+def spmm_flops(sp: DocSparse, width: int) -> int:
+    """FLOPs of one bt_x or b_y call (2*nnz*width), for the GFLOP/s
+    counter (reference include/matUtils.h:270-308 self-profiling)."""
+    return 2 * sp.nnz * width
+
+
+def to_dense(sp: DocSparse) -> np.ndarray:
+    """Densify (tests/small problems only)."""
+    out = np.zeros((sp.vocab + 1, sp.num_docs + 1), dtype=np.float32)
+    w = np.asarray(sp.d_word)
+    d = np.asarray(sp.d_doc)
+    v = np.asarray(sp.d_val)
+    np.add.at(out, (w, d), v)
+    return out[: sp.vocab, : sp.num_docs]

@@ -1,0 +1,410 @@
+"""Training orchestration: the end-to-end TSVD topic-model pipeline.
+
+Mirrors ISLETrainer (reference include/trainer.h:35-266,
+src/trainer.cpp:425-654 `train()`) with the three ingest modes
+(file / iterative feed / preprocessed artifact) and the same stage order:
+
+  ingest -> normalize -> zeta thresholds -> B = threshold+sqrt-scale
+  [-> importance-sample docs] -> truncated SVD of B B^T -> k-means++ on
+  U^T B -> Lloyd's (projected) -> lift centers -> Lloyd's (full space) ->
+  remap clusters to original docs -> r-th-highest stats -> catchwords ->
+  topic matrix [-> edge topics].
+
+Beyond the reference, every stage checkpoints its outputs to the run
+directory (the reference restarts only from final artifacts; SURVEY.md
+§5.4), and all randomness is seeded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import io_text
+from .bmatrix import threshold_and_copy
+from .catchwords import catchword_topic_map, find_catchwords, rth_highest
+from .config import TrainConfig
+from .corpus import Corpus, EntryFeeder, read_vocab_file
+from .kmeans import (
+    kmeans_init_on_projected,
+    run_lloyds_full,
+    run_lloyds_projected,
+)
+from .linalg import block_ks
+from .obs import Logger, OpCounter, Timer
+from .sparse import DocSparse, b_y, bt_x, frobenius_sq, gram_x, spmm_flops
+from .thresholds import compute_thresholds_jax
+from .topic_model import construct_edge_topics_v2, construct_topic_model
+
+HI = jax.lax.Precision.HIGHEST
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainConfig,
+        output_dir: str = ".",
+        vocab_file: Optional[str] = None,
+        quiet: bool = False,
+    ):
+        self.config = config
+        self.output_dir = output_dir
+        self.run_dir = os.path.join(output_dir, config.log_dir_name())
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.logger = Logger(self.run_dir, quiet=quiet)
+        self.timer = Timer(self.logger)
+        self.op_counter = OpCounter("gram SpMM")
+        self.vocab_file = vocab_file
+        self.corpus: Optional[Corpus] = None
+        self.vocab_words: List[str] = []
+        self._feeder: Optional[EntryFeeder] = None
+        self.is_training_complete = False
+
+        # Results
+        self.model: Optional[np.ndarray] = None  # (vocab, k)
+        self.edge_model: Optional[np.ndarray] = None
+        self.edge_pairs: Optional[np.ndarray] = None
+        self.evalues: Optional[np.ndarray] = None
+        self.centers: Optional[np.ndarray] = None  # (k, vocab)
+        self.cluster_of_doc: Optional[np.ndarray] = None
+        self.catchword_thresholds: Optional[np.ndarray] = None  # (k, vocab)
+        self.catchwords: Optional[List[np.ndarray]] = None
+        self.top_pairs = None
+        self.original_cols: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # Ingest (the three data_ingest modes, include/trainer.h:92-95)
+    # ------------------------------------------------------------------
+
+    def load_data_from_file(self, tdf_path: str) -> None:
+        c = self.config
+        self.corpus = Corpus.from_tdf_file(
+            tdf_path,
+            vocab_size=c.vocab_size,
+            num_docs=c.num_docs,
+            tf_idf=c.tf_idf,
+        )
+        self._post_ingest()
+        self.timer.next("load + finalize data")
+
+    def feed_data(self, doc: int, words, counts) -> None:
+        if self._feeder is None:
+            self._feeder = EntryFeeder()
+        self._feeder.feed(doc, words, counts)
+
+    def finalize_data(self) -> None:
+        assert self._feeder is not None, "feed_data first"
+        c = self.config
+        self.corpus = self._feeder.finalize(
+            vocab_size=c.vocab_size, num_docs=c.num_docs, tf_idf=c.tf_idf
+        )
+        self._feeder = None
+        self._post_ingest()
+        self.timer.next("finalize data")
+
+    def load_preprocessed(self, prefix: str) -> None:
+        """Binary sidecar artifacts (src/trainer.cpp:296-362; see
+        preprocessed.py for the format)."""
+        from .preprocessed import load_preprocessed
+
+        self.corpus = load_preprocessed(prefix)
+        self._post_ingest()
+        self.timer.next("load preprocessed data")
+
+    def _post_ingest(self) -> None:
+        assert self.corpus is not None
+        cfg = self.config
+        object.__setattr__(cfg, "vocab_size", self.corpus.vocab_size)
+        object.__setattr__(cfg, "num_docs", self.corpus.num_docs)
+        self.vocab_words = read_vocab_file(
+            self.vocab_file or "", self.corpus.vocab_size
+        )
+        self.logger.info(
+            f"#docs: {self.corpus.num_docs}  #vocab: {self.corpus.vocab_size}  "
+            f"nnz: {self.corpus.nnz}  nz_docs: {self.corpus.nz_docs}  "
+            f"avg_doc_sz: {self.corpus.avg_doc_sz}"
+        )
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+
+    def train(self) -> None:
+        assert self.corpus is not None, "load data first"
+        cfg = self.config
+        hp = cfg.hyper
+        k = cfg.num_topics
+        V = self.corpus.vocab_size
+        D = self.corpus.num_docs
+        key = jax.random.PRNGKey(cfg.seed)
+
+        A = DocSparse.from_corpus(self.corpus, chunk=cfg.tpu.spmm_chunk)
+        self.timer.next("upload A to device")
+
+        # 1. thresholds
+        zetas, new_nnz = compute_thresholds_jax(
+            A.d_word,
+            A.d_val,
+            V,
+            self.corpus.avg_doc_sz,
+            self.corpus.nz_docs,
+            k,
+            hp,
+        )
+        self.logger.info(f"Entries above threshold: {int(new_nnz)}")
+        self.timer.next("computing thresholds")
+
+        # 2-3. B construction (+ sampling)
+        key, sub = jax.random.split(key)
+        B, original_cols = threshold_and_copy(
+            A,
+            zetas,
+            sample_rate=cfg.sample_rate if cfg.sample_docs else None,
+            key=sub,
+            chunk=cfg.tpu.spmm_chunk,
+        )
+        self.original_cols = original_cols
+        self.logger.info(
+            f"Columns remaining after thresholding: {B.num_docs}  "
+            f"nnz(B): {B.nnz}  Frob(B): {float(jnp.sqrt(frobenius_sq(B))):.4f}"
+        )
+        self.timer.next("creating thresholded and scaled matrix")
+
+        # 4-5. truncated SVD of B B^T
+        key, sub = jax.random.split(key)
+        blk = hp.block_ks_block_size
+        eigensolver = hp.eigensolver
+        if eigensolver != "dense" and 2 * k + 2 >= V:
+            self.logger.warning(
+                f"k={k} too close to vocab={V} for a Krylov solver; "
+                "falling back to the dense eigensolver"
+            )
+            eigensolver = "dense"
+        if eigensolver == "dense":
+            from .linalg import dense_topk_eigh
+            from .sparse import to_dense
+
+            Bd = to_dense(B).astype(np.float64)
+            w_np, U_np = dense_topk_eigh(Bd @ Bd.T, k)
+            self.evalues = w_np.astype(np.float32)
+            U = jnp.asarray(U_np, jnp.float32)
+        else:
+            res = block_ks(
+                lambda X: gram_x(B, X, cfg.tpu.spmm_chunk),
+                V,
+                k,
+                blk=blk,
+                tol=hp.block_ks_tolerance,
+                max_restarts=hp.block_ks_max_iters,
+                key=sub,
+                timer=self.timer,
+            )
+            if res.nconv < k:
+                self.logger.warning(
+                    f"block_ks converged only {res.nconv}/{k} eigenpairs"
+                )
+            self.op_counter.add(
+                res.op_seconds, 2 * spmm_flops(B, blk) * res.op_calls, res.op_calls
+            )
+            self.logger.info(self.op_counter.summary())
+            self.evalues = res.evals
+            U = res.evecs
+        self._print_eigen_data(self.evalues, k)
+        self.timer.next("eigen solve (B B^T)")
+        self._checkpoint("svd", U=np.asarray(U), evalues=self.evalues,
+                         zetas=np.asarray(zetas), original_cols=original_cols)
+
+        # 6. projected matrix P = U^T B (k x D_B), materialized (TPU-first;
+        # the reference's USE_EXPLICIT_PROJECTED_MATRIX=false recomputes
+        # projections blockwise on CPU instead).
+        P = bt_x(B, U, cfg.tpu.spmm_chunk).T
+        self.timer.next("project docs")
+
+        # 7. k-means++ seeding + Lloyd's in the projected space
+        key, sub = jax.random.split(key)
+        if not hp.enable_kmeans_on_lowd:
+            # seeds are needed to copy B columns directly
+            # (hyperparams.h:56-58 assertion)
+            assert hp.kmeans_init_method in ("kmeanspp", "kmeansmcmc")
+        seeds, centers_lowd, init_residual = kmeans_init_on_projected(
+            P, k, hp.kmeans_init_reps, sub,
+            method=hp.kmeans_init_method, timer=self.timer,
+        )
+        self.logger.info(f"Best k-means init residual: {init_residual:.4f}")
+        self.timer.next("k-means seeds initialization")
+
+        if hp.enable_kmeans_on_lowd:
+            centers_lowd, _ = run_lloyds_projected(
+                P, centers_lowd, hp.max_kmeans_lowd_reps, timer=self.timer
+            )
+            centers_full = jnp.matmul(centers_lowd, U.T, precision=HI)
+            self.timer.next("converging Lloyds k-means on B_k")
+        else:
+            onehot = jax.nn.one_hot(seeds, B.num_docs, dtype=jnp.float32)
+            centers_full = b_y(B, onehot.T, cfg.tpu.spmm_chunk).T
+
+        # 8. Lloyd's on B in the full vocab space
+        if hp.kmeans_algo_for_sparse == "elkans":
+            from .elkans import run_elkans
+
+            centers_full, assign = run_elkans(
+                B, centers_full, hp.max_kmeans_reps, timer=self.timer
+            )
+        else:
+            centers_full, assign = run_lloyds_full(
+                B, centers_full, hp.max_kmeans_reps, timer=self.timer
+            )
+        self.centers = np.asarray(centers_full)
+        self.timer.next("k-means on B")
+
+        # 9. remap cluster membership to original doc ids
+        assign_h = np.asarray(assign)
+        cluster_of_doc = np.full(D, -1, np.int32)
+        cluster_of_doc[original_cols] = assign_h
+        self.cluster_of_doc = cluster_of_doc
+        sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
+        self._checkpoint("kmeans", centers=self.centers,
+                         cluster_of_doc=cluster_of_doc)
+
+        # 10. r-th highest element per (word, topic)
+        r = hp.catchword_rank(
+            D, k, cfg.sample_rate if cfg.sample_docs else None
+        )
+        if r < 1:
+            self.logger.warning(
+                f"catchword rank r={r} < 1 (tiny corpus); clamping to 1"
+            )
+            r = 1
+        thr = rth_highest(
+            A, jnp.asarray(cluster_of_doc), jnp.asarray(sizes), k, r
+        )
+        self.catchword_thresholds = np.asarray(thr)
+        self.timer.next("collecting word freqs in clusters")
+
+        # 11. catchwords
+        is_cw = find_catchwords(thr, hp.rho)
+        is_cw_h = np.asarray(is_cw)
+        cwt = catchword_topic_map(is_cw_h)
+        self.catchwords = [np.flatnonzero(is_cw_h[t]) for t in range(k)]
+        self.timer.next("finding catchwords for clusters")
+
+        # 12. topic model (+ top-2 pairs for edge topics)
+        want_pairs = cfg.compute_edge_topics
+        model, pairs = construct_topic_model(
+            A,
+            jnp.asarray(cwt),
+            jnp.asarray(cluster_of_doc),
+            k,
+            hp.model_rank_threshold(D, k),
+            want_top_pairs=want_pairs,
+        )
+        self.model = np.asarray(model)
+        if pairs is not None:
+            self.top_pairs = tuple(np.asarray(x) for x in pairs)
+        self.timer.next("constructing topic vectors")
+        self._checkpoint("model", model=self.model)
+        self.is_training_complete = True
+
+    def train_edge_topics(self) -> None:
+        """Edge (compound) topics (src/trainer.cpp:673-685)."""
+        assert self.is_training_complete, "train basic topics first"
+        assert self.config.compute_edge_topics, "edge topic flag is off"
+        t1, t2, valid = self.top_pairs
+        self.edge_model, self.edge_pairs = construct_edge_topics_v2(
+            t1,
+            t2,
+            valid,
+            self.model,
+            self.config.num_topics,
+            self.config.max_edge_topics,
+            min_docs=self.config.hyper.edge_topic_min_docs,
+            primary_ratio=self.config.hyper.edge_topic_primary_ratio,
+        )
+        self.logger.info(f"#Edge topics: {self.edge_model.shape[1]}")
+        self.timer.next("constructing edge topic model")
+
+    # ------------------------------------------------------------------
+    # Outputs (src/trainer.cpp:656-1040)
+    # ------------------------------------------------------------------
+
+    def write_model_to_file(self) -> None:
+        assert self.is_training_complete
+        io_text.write_sparse_model(
+            os.path.join(self.run_dir, "M_hat_catch_sparse"), self.model
+        )
+        self.timer.next("output model")
+        io_text.write_top_words(
+            os.path.join(self.run_dir, "TopWordsPerTopic_catch.txt"),
+            self.model,
+            self.vocab_words,
+            max(self.config.hyper.coherence_num_words, 10),
+        )
+        self.timer.next("output topwords")
+
+    def write_edgemodel_to_file(self) -> None:
+        if self.edge_model is None:
+            return
+        io_text.write_sparse_model(
+            os.path.join(self.run_dir, "EdgeModel_sparse"), self.edge_model
+        )
+        io_text.write_edge_composition(
+            os.path.join(self.run_dir, "EdgeTopicComposition.txt"),
+            self.edge_pairs,
+        )
+        self.timer.next("output edge model")
+
+    def output_cluster_summary(self) -> None:
+        """Catchwords, top words, cluster details, coherence
+        (src/trainer.cpp:776-829)."""
+        assert self.is_training_complete
+        from .diagnostics import topic_coherence
+
+        k = self.config.num_topics
+        nw = self.config.hyper.coherence_num_words
+        tops = io_text.top_words_per_topic(self.model, max(nw, 10))
+        coh = topic_coherence(
+            self.corpus, self.model, nw, self.config.hyper.coherence_eps
+        )
+        sizes = np.bincount(
+            self.cluster_of_doc[self.cluster_of_doc >= 0], minlength=k
+        )
+        for t in range(k):
+            cw = self.catchwords[t] if self.catchwords else []
+            words = ", ".join(self.vocab_words[w] for w, _ in tops[t][:10])
+            self.logger.info(
+                f"---- Topic {t}: cluster_size={sizes[t]} "
+                f"#catchwords={len(cw)} coherence={coh[t]:.4f}\n"
+                f"     top words: {words}"
+            )
+        self.logger.info(f"Avg coherence: {float(np.mean(coh)):.4f}")
+        self.timer.next("output summary")
+
+    def get_model(self) -> np.ndarray:
+        """C-API GetBasicModel analog (drivers/trainer_export.cpp:70-78)."""
+        assert self.is_training_complete
+        return self.model
+
+    def get_edge_model(self) -> Optional[np.ndarray]:
+        return self.edge_model
+
+    # ------------------------------------------------------------------
+
+    def _print_eigen_data(self, evalues: np.ndarray, k: int) -> None:
+        """Spectrum report (include/logUtils.h:101-122): singular values
+        are sqrt of the Gram eigenvalues."""
+        sv = np.sqrt(np.maximum(evalues, 0.0))
+        self.logger.info(
+            f"Singular values (top {min(5, k)}): "
+            + ", ".join(f"{x:.4f}" for x in sv[:5])
+            + f" ... lambda_k={sv[-1]:.4f}  sum={sv.sum():.2f}"
+        )
+
+    def _checkpoint(self, stage: str, **arrays) -> None:
+        path = os.path.join(self.run_dir, f"ckpt_{stage}.npz")
+        np.savez_compressed(path, **{k: v for k, v in arrays.items() if v is not None})
+        self.logger.diag(f"checkpointed stage '{stage}' -> {path}")

@@ -1,0 +1,90 @@
+"""Batched MWU inference vs the literal per-doc restatement."""
+
+import numpy as np
+import pytest
+
+from isle_tpu.corpus import Corpus
+from isle_tpu.mwu import build_infer_batch, infer_all
+from literal_oracle import mwu_literal
+
+
+def make_model(rng, V, k):
+    M = rng.random((V, k)).astype(np.float32)
+    M[M < 0.5] = 0.0
+    M[0] = 0.0  # a word with zero model mass everywhere (dropped in slices)
+    M /= np.maximum(M.sum(axis=0, keepdims=True), 1e-9)
+    return M
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_literal(seed):
+    rng = np.random.default_rng(seed)
+    V, D, k = 30, 25, 6
+    M = make_model(rng, V, k)
+    docs, words, counts = [], [], []
+    for d in range(D):
+        ws = rng.choice(V, size=rng.integers(2, 10), replace=False)
+        for w in np.sort(ws):
+            docs.append(d)
+            words.append(w)
+            counts.append(int(rng.integers(1, 7)))
+    corpus = Corpus.from_entries(
+        np.array(docs), np.array(words), np.array(counts),
+        vocab_size=V, num_docs=D, normalize_to_one=True,
+    )
+    batch = build_infer_batch(corpus, M.sum(axis=1))
+    weights, conv, llh_doc, llh_w = infer_all(M, batch, iters=15, Lf=10.0)
+
+    for d in range(D):
+        lo, hi = corpus.offsets[d], corpus.offsets[d + 1]
+        rows = corpus.rows[lo:hi]
+        vals = corpus.vals[lo:hi]
+        keep = M[rows].sum(axis=1) > 1e-10
+        a = vals[keep]
+        Ms = M[rows[keep]]
+        w_ref, conv_ref = mwu_literal(a, Ms, k, 15, 10.0)
+        assert bool(conv[d]) == conv_ref, d
+        if conv_ref:
+            np.testing.assert_allclose(weights[d], w_ref, rtol=5e-4, atol=1e-5)
+            z = Ms @ w_ref
+            s = float((a * np.log(z)).sum())
+            np.testing.assert_allclose(
+                llh_doc[d], s * corpus.avg_doc_sz, rtol=1e-3, atol=1e-4
+            )
+            np.testing.assert_allclose(
+                llh_w[d], s * (hi - lo), rtol=1e-3, atol=1e-4
+            )
+        else:
+            assert llh_doc[d] == 0.0 and (weights[d] == 1.0 / k).all()
+
+
+def test_empty_doc_unconverged():
+    V, D, k = 5, 2, 3
+    M = np.full((V, k), 0.2, np.float32)
+    corpus = Corpus.from_entries(
+        np.array([0]), np.array([1]), np.array([4]),
+        vocab_size=V, num_docs=D, normalize_to_one=True,
+    )
+    batch = build_infer_batch(corpus, M.sum(axis=1))
+    weights, conv, llh_doc, _ = infer_all(M, batch, iters=15, Lf=10.0)
+    assert conv[0] and not conv[1]
+    assert llh_doc[1] == 0.0
+
+
+def test_small_blocks_match_one_block():
+    rng = np.random.default_rng(3)
+    V, D, k = 20, 17, 4
+    M = make_model(rng, V, k)
+    docs = np.repeat(np.arange(D), 3)
+    words = rng.integers(1, V, 3 * D)
+    order = np.lexsort((words, docs))
+    corpus = Corpus.from_entries(
+        docs[order], words[order], rng.integers(1, 5, 3 * D)[order],
+        vocab_size=V, num_docs=D, normalize_to_one=True,
+    )
+    batch = build_infer_batch(corpus, M.sum(axis=1))
+    w1, c1, l1, _ = infer_all(M, batch, 15, 10.0, block_size=4)
+    w2, c2, l2, _ = infer_all(M, batch, 15, 10.0, block_size=0)
+    np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,83 @@
+"""Doc-sharded SpMM and the composite sharded train step on the 8-device
+virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isle_tpu.sharding import (
+    from_doc_sparse,
+    make_mesh,
+    shard_doc_sparse,
+    sharded_b_y,
+    sharded_bt_x,
+    sharded_gram_x,
+    sharded_train_step,
+)
+from isle_tpu.sparse import DocSparse, b_y, bt_x, gram_x
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    V, D = 50, 80
+    mask = rng.random((V, D)) < 0.2
+    w, d = np.nonzero(mask)
+    order = np.lexsort((w, d))
+    w, d = w[order], d[order]
+    v = rng.integers(1, 5, len(w)).astype(np.float32)
+    sp = DocSparse.build(w, d, v, V, D, chunk=1024)
+    mesh = make_mesh()
+    ssp = shard_doc_sparse(w, d, v, V, D, mesh, pad_multiple=64)
+    return sp, ssp, mesh, (w, d, v, V, D)
+
+
+def test_mesh_has_8_devices(problem):
+    _, _, mesh, _ = problem
+    assert mesh.devices.size == 8
+
+
+def test_sharded_bt_x_matches(problem):
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((V, 8)).astype(np.float32))
+    ref = np.asarray(bt_x(sp, X))
+    got = np.asarray(sharded_bt_x(ssp, X, mesh)).reshape(-1, 8)[:D]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_b_y_matches(problem):
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    rng = np.random.default_rng(2)
+    S, dps = ssp.num_shards, ssp.docs_per_shard
+    Yg = rng.standard_normal((S * dps, 4)).astype(np.float32)
+    Yg[D:] = 0.0
+    ref = np.asarray(b_y(sp, jnp.asarray(Yg[:D])))
+    got = np.asarray(sharded_b_y(ssp, jnp.asarray(Yg.reshape(S, dps, 4)), mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_gram_matches(problem):
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((V, 8)).astype(np.float32))
+    ref = np.asarray(gram_x(sp, X))
+    got = np.asarray(sharded_gram_x(ssp, X, mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_train_step_runs(problem):
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    k = 4
+    rng = np.random.default_rng(4)
+    step = sharded_train_step(ssp, mesh, k)
+    X = jnp.asarray(rng.standard_normal((V, 8)).astype(np.float32))
+    centers = jnp.asarray(rng.standard_normal((k, V)).astype(np.float32))
+    Y, assign, new_centers, hist = step(ssp, X, centers)
+    assert Y.shape == (V, 8)
+    assert new_centers.shape == (k, V)
+    assert int(hist.sum()) == len(w)
+    # assignments cover real docs
+    a = np.asarray(assign).reshape(-1)[:D]
+    assert ((a >= 0) & (a < k)).all()

@@ -1,0 +1,102 @@
+"""Alternative configurations: kmeans|| and AFK-MC^2 seeding, Elkan's
+k-means, edge topics v1, and the C-API embedding surface."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isle_tpu.elkans import run_elkans
+from isle_tpu.kmeans import (
+    kmeans_init_on_projected,
+    run_lloyds_full,
+    run_lloyds_projected,
+)
+from isle_tpu.sparse import DocSparse, to_dense
+from isle_tpu.topic_model import construct_edge_topics_v1
+
+
+def clustered_P(rng, kdim, k, per):
+    mus = rng.standard_normal((k, kdim)) * 10
+    pts = np.concatenate(
+        [mus[i] + 0.1 * rng.standard_normal((per, kdim)) for i in range(k)]
+    )
+    return jnp.asarray(pts.T, jnp.float32)
+
+
+@pytest.mark.parametrize("method", ["kmeansbb", "kmeansmcmc"])
+def test_alt_seeding_recovers_clusters(method):
+    rng = np.random.default_rng(0)
+    k, per = 4, 40
+    P = clustered_P(rng, 5, k, per)
+    idx, centers, residual = kmeans_init_on_projected(
+        P, k, 1, jax.random.PRNGKey(0), method=method
+    )
+    assert centers.shape == (k, 5)
+    centers, assign = run_lloyds_projected(P, centers, 10)
+    a = np.asarray(assign)
+    for i in range(k):
+        assert len(np.unique(a[i * per : (i + 1) * per])) == 1
+    assert len(np.unique(a)) == k
+    if method == "kmeansmcmc":
+        assert idx is not None and len(np.unique(np.asarray(idx))) == k
+
+
+def test_elkans_matches_lloyds_fixpoint():
+    rng = np.random.default_rng(1)
+    V, D, kc = 30, 90, 3
+    w_list, d_list = [], []
+    for d in range(D):
+        blk = d % kc
+        for w in np.sort(rng.choice(np.arange(blk * 10, blk * 10 + 10), 4, replace=False)):
+            w_list.append(w)
+            d_list.append(d)
+    sp = DocSparse.build(
+        np.array(w_list), np.array(d_list),
+        np.ones(len(w_list), np.float32) * 2, V, D, chunk=512,
+    )
+    centers0 = jnp.asarray(to_dense(sp)[:, :kc].T)
+    c_l, a_l = run_lloyds_full(sp, centers0, 10)
+    c_e, a_e = run_elkans(sp, centers0, 10)
+    np.testing.assert_array_equal(np.asarray(a_l), np.asarray(a_e))
+    np.testing.assert_allclose(np.asarray(c_l), np.asarray(c_e), atol=1e-5)
+
+
+def test_edge_topics_v1():
+    V, D, k = 6, 5, 3
+    w = np.array([0, 1, 2, 3, 4, 5])
+    d = np.array([0, 0, 1, 2, 3, 4])
+    v = np.ones(6, np.float32)
+    sp = DocSparse.build(w, d, v, V, D, chunk=64)
+    t1 = np.array([0, 0, 1, 2, 2], np.int32)
+    t2 = np.array([1, 1, 2, 0, 0], np.int32)
+    valid = np.array([True, True, True, True, False])
+    edge, sel = construct_edge_topics_v1(sp, t1, t2, valid, None, k, 2)
+    # counts: (0,1)=2 docs {0,1}, (1,2)=1 doc {2}, (2,0)=1 doc {3}
+    np.testing.assert_array_equal(sel[0, :2], [0, 1])
+    # edge 0 = mean of docs 0 and 1 = ([1,1,0,0,0,0] + [0,0,1,0,0,0]) / 2
+    np.testing.assert_allclose(edge[:, 0], [0.5, 0.5, 0.5, 0, 0, 0])
+
+
+def test_capi_roundtrip(tmp_path):
+    from isle_tpu import capi
+
+    rng = np.random.default_rng(2)
+    V, D, k = 40, 120, 3
+    logs = []
+    h = capi.CreateTrainer(
+        V, D, k, output_dir=str(tmp_path), seed=0, log_callback=logs.append
+    )
+    block = V // k
+    for d in range(D):
+        t = d % k
+        ws = np.unique(rng.integers(t * block, (t + 1) * block, 8)) + 1
+        capi.feedData(h, d, ws, np.full(len(ws), 2), len(ws))
+    capi.finalizeData(h)
+    capi.Train(h)
+    model = capi.GetBasicModel(h)
+    assert model.shape == (V * k,)
+    np.testing.assert_allclose(model.reshape(k, V).sum(axis=1), 1.0, rtol=1e-4)
+    assert capi.GetNumEdgeTopics(h) == 0
+    assert len(logs) > 0
+    capi.DestroyTrainer(h)
