@@ -26,6 +26,9 @@ def main(argv=None) -> int:
 
     from isle_tpu.config import InferConfig
     from isle_tpu.inferencer import Inferencer
+    from isle_tpu.obs import enable_compilation_cache
+
+    enable_compilation_cache()
 
     (
         model_file,

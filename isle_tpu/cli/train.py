@@ -30,7 +30,10 @@ def main(argv=None) -> int:
         return 1
 
     from isle_tpu.config import TrainConfig
+    from isle_tpu.obs import enable_compilation_cache
     from isle_tpu.trainer import Trainer
+
+    enable_compilation_cache()
 
     (
         tdf_file,

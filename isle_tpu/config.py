@@ -106,6 +106,9 @@ class TpuConfig:
     sublane: int = 8
     # Chunk length for nnz-streamed SpMM fallback (entries per scan step).
     spmm_chunk: int = 1 << 21
+    # HBM budget for the dense Zipf-head rows of the hybrid SpMM layout
+    # (see hybrid.py); 0 disables the hybrid layout.
+    dense_head_bytes: int = 512 << 20
     # Use Pallas kernels where available (else pure-XLA fallbacks).
     use_pallas: bool = True
     # Matmul precision for parity-critical products (Gram matrices, QR).

@@ -24,26 +24,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sparse import DocSparse, bt_x, doc_l2sq
+from .matops import mat_bt_x, mat_doc_l2sq
+from .sparse import DocSparse
 from .kmeans import _update_centers_full
 
 HI = jax.lax.Precision.HIGHEST
 
 
 @jax.jit
-def _exact_dists(sp: DocSparse, centers: jax.Array, docs_l2: jax.Array):
-    dots = bt_x(sp, centers.T)
+def _exact_dists(sp, centers: jax.Array, docs_l2: jax.Array):
+    dots = mat_bt_x(sp, centers.T)
     c_l2 = jnp.sum(centers * centers, axis=1)
     d2 = docs_l2[:, None] + c_l2[None, :] - 2.0 * dots
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
 def run_elkans(
-    sp: DocSparse, centers: jax.Array, max_reps: int, timer=None
+    sp, centers: jax.Array, max_reps: int, timer=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (centers (k, vocab), assignment). Same fixpoint as Lloyd's."""
     k = centers.shape[0]
-    docs_l2 = doc_l2sq(sp)
+    docs_l2 = mat_doc_l2sq(sp)
 
     dist = _exact_dists(sp, centers, docs_l2)  # (D, k)
     assign = jnp.argmin(dist, axis=1).astype(jnp.int32)

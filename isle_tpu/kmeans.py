@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sparse import DocSparse, b_y, bt_x, doc_l2sq
+from .matops import mat_b_y, mat_bt_x, mat_doc_l2sq
+from .sparse import DocSparse
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -376,33 +377,32 @@ def run_lloyds_projected(
 
 
 @jax.jit
-def _assign_full(
-    sp: DocSparse, centers: jax.Array, docs_l2: jax.Array
-) -> jax.Array:
+def _assign_full(sp, centers: jax.Array, docs_l2: jax.Array) -> jax.Array:
     """centers: (k, vocab). Blocked distance + argmin via SpMM."""
-    dots = bt_x(sp, centers.T)  # (D, k)
+    dots = mat_bt_x(sp, centers.T)  # (D, k)
     c_l2 = jnp.sum(centers * centers, axis=1)
     dists = docs_l2[:, None] + c_l2[None, :] - 2.0 * dots
     return jnp.argmin(dists, axis=1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _update_centers_full(sp: DocSparse, assign: jax.Array, k: int):
+def _update_centers_full(sp, assign: jax.Array, k: int):
     D = sp.num_docs
     onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # (D, k)
-    sums = b_y(sp, onehot)  # (vocab, k)
+    sums = mat_b_y(sp, onehot)  # (vocab, k)
     counts = jnp.sum(onehot, axis=0)
     centers = jnp.where(counts[None, :] > 0, sums / counts[None, :], 0.0).T
     return centers, counts
 
 
 def run_lloyds_full(
-    sp: DocSparse, centers: jax.Array, max_reps: int, timer=None
+    sp, centers: jax.Array, max_reps: int, timer=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-space Lloyd's (run_lloyds, src/sparseMatrix.cpp:1689-1746).
-    centers: (k, vocab). Returns (centers, assignment)."""
+    centers: (k, vocab); sp: DocSparse or HybridSparse. Returns
+    (centers, assignment)."""
     k = centers.shape[0]
-    docs_l2 = doc_l2sq(sp)
+    docs_l2 = mat_doc_l2sq(sp)
     prev = None
     assign = None
     for rep in range(max_reps):

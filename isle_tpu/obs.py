@@ -19,6 +19,18 @@ import time
 from typing import Callable, Dict, List, Optional
 
 
+def enable_compilation_cache(path: str = "/tmp/isle_jax_cache") -> None:
+    """Persistent XLA compilation cache: the pipeline's ~10 compilation
+    units cost minutes on first run per shape; cached runs skip them."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class Logger:
     CHANNELS = ("info", "trace", "warning", "error", "timer", "diagnostic")
 

@@ -36,8 +36,10 @@ from .kmeans import (
     run_lloyds_projected,
 )
 from .linalg import block_ks
+from .hybrid import to_hybrid
+from .matops import mat_b_y, mat_bt_x, mat_gram_x, mat_spmm_flops
 from .obs import Logger, OpCounter, Timer
-from .sparse import DocSparse, b_y, bt_x, frobenius_sq, gram_x, spmm_flops
+from .sparse import DocSparse, frobenius_sq
 from .thresholds import compute_thresholds_jax
 from .topic_model import construct_edge_topics_v2, construct_topic_model
 
@@ -175,6 +177,17 @@ class Trainer:
         )
         self.timer.next("creating thresholded and scaled matrix")
 
+        # Optimized dense-head/sparse-tail layout for the hot SpMM paths.
+        if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
+            num_head = min(V, cfg.tpu.dense_head_bytes // max(4 * B.num_docs, 1))
+            if num_head >= 8:
+                B = to_hybrid(B, int(num_head), chunk=cfg.tpu.spmm_chunk)
+                self.logger.diag(
+                    f"hybrid layout: {B.num_head} dense head rows cover "
+                    f"{B.head_nnz / max(B.nnz, 1):.0%} of nnz"
+                )
+                self.timer.next("building hybrid layout")
+
         # 4-5. truncated SVD of B B^T
         key, sub = jax.random.split(key)
         blk = hp.block_ks_block_size
@@ -187,15 +200,15 @@ class Trainer:
             eigensolver = "dense"
         if eigensolver == "dense":
             from .linalg import dense_topk_eigh
-            from .sparse import to_dense
+            from .matops import mat_to_dense
 
-            Bd = to_dense(B).astype(np.float64)
+            Bd = mat_to_dense(B).astype(np.float64)
             w_np, U_np = dense_topk_eigh(Bd @ Bd.T, k)
             self.evalues = w_np.astype(np.float32)
             U = jnp.asarray(U_np, jnp.float32)
         else:
             res = block_ks(
-                lambda X: gram_x(B, X, cfg.tpu.spmm_chunk),
+                lambda X: mat_gram_x(B, X, cfg.tpu.spmm_chunk),
                 V,
                 k,
                 blk=blk,
@@ -209,7 +222,7 @@ class Trainer:
                     f"block_ks converged only {res.nconv}/{k} eigenpairs"
                 )
             self.op_counter.add(
-                res.op_seconds, 2 * spmm_flops(B, blk) * res.op_calls, res.op_calls
+                res.op_seconds, mat_spmm_flops(B, blk) * res.op_calls, res.op_calls
             )
             self.logger.info(self.op_counter.summary())
             self.evalues = res.evals
@@ -222,7 +235,7 @@ class Trainer:
         # 6. projected matrix P = U^T B (k x D_B), materialized (TPU-first;
         # the reference's USE_EXPLICIT_PROJECTED_MATRIX=false recomputes
         # projections blockwise on CPU instead).
-        P = bt_x(B, U, cfg.tpu.spmm_chunk).T
+        P = mat_bt_x(B, U, cfg.tpu.spmm_chunk).T
         self.timer.next("project docs")
 
         # 7. k-means++ seeding + Lloyd's in the projected space
@@ -246,7 +259,7 @@ class Trainer:
             self.timer.next("converging Lloyds k-means on B_k")
         else:
             onehot = jax.nn.one_hot(seeds, B.num_docs, dtype=jnp.float32)
-            centers_full = b_y(B, onehot.T, cfg.tpu.spmm_chunk).T
+            centers_full = mat_b_y(B, onehot.T, cfg.tpu.spmm_chunk).T
 
         # 8. Lloyd's on B in the full vocab space
         if hp.kmeans_algo_for_sparse == "elkans":
