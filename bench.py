@@ -85,6 +85,8 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None):
     t0 = time.perf_counter()
     tr.train()
     train_s = time.perf_counter() - t0
+    for label, wall, cpu in tr.timer.phases:
+        print(f"#   phase {label}: {wall:.2f}s", file=sys.stderr)
     gflops = tr.op_counter.gflops()
     result = dict(
         train_s=train_s,

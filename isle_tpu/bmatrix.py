@@ -61,6 +61,24 @@ def _sample_select(
     return dice >= pivot
 
 
+@partial(jax.jit, static_argnames=("vocab", "npad", "nz_docs"))
+def _compact_b(
+    word, doc, keep, zetas, new_doc, vocab: int, npad: int, nz_docs: int
+):
+    """Stable compaction of surviving entries with sqrt(zeta) values and
+    renumbered doc ids (threshold_and_copy_doc_block semantics,
+    src/sparseMatrix.cpp:1328-1362)."""
+    pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, npad)
+    nd = jnp.concatenate([new_doc, jnp.full((1,), nz_docs, jnp.int32)])
+    out_w = jnp.full((npad,), vocab, jnp.int32).at[pos].set(word, mode="drop")
+    out_d = (
+        jnp.full((npad,), nz_docs, jnp.int32).at[pos].set(nd[doc], mode="drop")
+    )
+    sz = jnp.concatenate([jnp.sqrt(zetas), jnp.zeros((1,), jnp.float32)])
+    out_v = jnp.zeros((npad,), jnp.float32).at[pos].set(sz[word], mode="drop")
+    return out_w, out_d, out_v
+
+
 def threshold_and_copy(
     A: DocSparse,
     zetas: jax.Array,
@@ -99,27 +117,16 @@ def threshold_and_copy(
     new_nnz = int(jnp.sum(keep_d))
     npad = max(chunk, ((new_nnz + chunk - 1) // chunk) * chunk)
 
-    sqrt_z = jnp.sqrt(zetas)
-
-    def compact(word, doc, keep):
-        pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, npad)
-        nd = jnp.concatenate([new_doc, jnp.full((1,), nz_docs, jnp.int32)])
-        out_w = jnp.full((npad,), V, jnp.int32).at[pos].set(word, mode="drop")
-        out_d = (
-            jnp.full((npad,), nz_docs, jnp.int32)
-            .at[pos]
-            .set(nd[doc], mode="drop")
-        )
-        sz = jnp.concatenate([sqrt_z, jnp.zeros((1,), jnp.float32)])
-        out_v = jnp.zeros((npad,), jnp.float32).at[pos].set(sz[word], mode="drop")
-        return out_w, out_d, out_v
-
-    dw, dd, dv = compact(A.d_word, A.d_doc, keep_d)
+    dw, dd, dv = _compact_b(
+        A.d_word, A.d_doc, keep_d, zetas, new_doc, V, npad, nz_docs
+    )
 
     keep_w = _keep_mask(A.w_word, A.w_val, zetas)
     if sample_rate is not None:
         keep_w = keep_w & selp[A.w_doc]
-    ww, wd, wv = compact(A.w_word, A.w_doc, keep_w)
+    ww, wd, wv = _compact_b(
+        A.w_word, A.w_doc, keep_w, zetas, new_doc, V, npad, nz_docs
+    )
 
     B = DocSparse(
         d_word=dw,

@@ -41,7 +41,6 @@ def rth_highest(
     """Returns thresholds (num_topics, vocab) float32."""
     assert r >= 1, "r = 0 is undefined in the reference (vector[-1] read)"
     V, k = A.vocab, num_topics
-    n_groups = (V + 1) * k
 
     cl = jnp.concatenate([cluster_of_doc, jnp.full((1,), -1, jnp.int32)])
     c = cl[A.d_doc]
@@ -55,9 +54,33 @@ def rth_highest(
         (key, -A.d_val, A.d_val), num_keys=2, is_stable=False
     )
 
-    counts = jax.ops.segment_sum(
-        in_cluster.astype(jnp.int32), key, num_segments=n_groups
+    # Group counts as chunked one-hot row scatters into a (V+1, k) matrix
+    # (flat many-segment segment_sum compiles pathologically on this TPU
+    # toolchain; see thresholds.py).
+    n_pad = key.shape[0]
+    cchunk = max(min(1 << 19, n_pad), 1)
+    while n_pad % cchunk:
+        cchunk //= 2
+
+    def count_body(acc, args):
+        kk, ic = args
+        wrow = kk // k
+        col = kk % k
+        g = jax.nn.one_hot(col, k, dtype=jnp.float32)
+        g = g * ic[:, None]
+        return acc.at[wrow].add(g), None
+
+    cm, _ = jax.lax.scan(
+        count_body,
+        jnp.zeros((V + 1, k), jnp.float32),
+        (
+            key.reshape(n_pad // cchunk, cchunk),
+            in_cluster.astype(jnp.float32).reshape(n_pad // cchunk, cchunk),
+        ),
     )
+    counts = jnp.concatenate(
+        [cm[:V].reshape(V * k), jnp.zeros((k,), jnp.float32)]
+    ).astype(jnp.int32)
     starts = jnp.cumsum(counts) - counts  # group start offsets
 
     npad = skey.shape[0]

@@ -47,15 +47,11 @@ def _sort_dedup(
     docs: np.ndarray, words: np.ndarray, counts: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sort by (doc, word) and drop duplicate (doc, word) pairs, keeping the
-    first occurrence (std::sort + std::unique, src/trainer.cpp:237-247)."""
-    order = np.lexsort((words, docs))
-    docs, words, counts = docs[order], words[order], counts[order]
-    if len(docs) > 1:
-        keep = np.empty(len(docs), dtype=bool)
-        keep[0] = True
-        keep[1:] = (docs[1:] != docs[:-1]) | (words[1:] != words[:-1])
-        docs, words, counts = docs[keep], words[keep], counts[keep]
-    return docs, words, counts
+    first occurrence (std::sort + std::unique, src/trainer.cpp:237-247).
+    Dispatches to the native C++ sort (isle_io.cpp) when available."""
+    from . import native
+
+    return native.sort_dedup_entries(docs, words, counts)
 
 
 @dataclasses.dataclass

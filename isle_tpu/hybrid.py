@@ -102,6 +102,40 @@ def _head_select(sp: DocSparse, num_head: int):
     return head_words, is_head, rank
 
 
+@partial(jax.jit, static_argnames=("num_head", "num_docs"))
+def _build_head(sp: DocSparse, rank, is_head, num_head: int, num_docs: int):
+    r = rank[sp.d_word]
+    hmask = is_head[sp.d_word]
+    rr = jnp.where(hmask, r, num_head)
+    dd = jnp.where(hmask, sp.d_doc, num_docs)
+    H = jnp.zeros((num_head + 1, num_docs + 1), jnp.float32)
+    H = H.at[rr, dd].add(sp.d_val)
+    return H[:num_head, :num_docs], hmask.sum()
+
+
+@partial(jax.jit, static_argnames=("vocab", "num_segments"))
+def _tail_plan(word, seg, is_head, vocab: int, num_segments: int):
+    mask = (~is_head[word]) & (word < vocab)
+    return _pad8_plan(mask, seg, num_segments)
+
+
+# Per-octet segment ids: pads carry the spill id, so a min over each octet
+# recovers the real segment (octets never straddle segments).
+@partial(jax.jit, static_argnames=("vocab", "n_pad", "seg_spill"))
+def _compact_tail(word, seg, val, pos, vocab: int, n_pad: int, seg_spill: int):
+    out_w = jnp.full((n_pad,), vocab, jnp.int32).at[pos].set(word, mode="drop")
+    out_v = jnp.zeros((n_pad,), jnp.float32).at[pos].set(val, mode="drop")
+    big = jnp.int32(seg_spill)
+    out_s = jnp.full((n_pad,), big).at[pos].set(seg, mode="drop")
+    oseg = jnp.min(out_s.reshape(n_pad // 8, 8), axis=1)
+    return out_w, out_v, oseg
+
+
+@partial(jax.jit, static_argnames=("n_pad", "fill"))
+def _compact_ids(ids, pos, n_pad: int, fill: int):
+    return jnp.full((n_pad,), fill, jnp.int32).at[pos].set(ids, mode="drop")
+
+
 def to_hybrid(
     sp: DocSparse, num_head: int, chunk: int = DEFAULT_CHUNK
 ) -> HybridSparse:
@@ -110,56 +144,24 @@ def to_hybrid(
     num_head = int(min(num_head, V))
     head_words, is_head, rank = _head_select(sp, num_head)
 
-    # --- dense head ---
-    @jax.jit
-    def build_head(sp, rank, is_head):
-        r = rank[sp.d_word]
-        hmask = is_head[sp.d_word]
-        rr = jnp.where(hmask, r, num_head)
-        dd = jnp.where(hmask, sp.d_doc, D)
-        H = jnp.zeros((num_head + 1, D + 1), jnp.float32)
-        H = H.at[rr, dd].add(sp.d_val)
-        return H[:num_head, :D], hmask.sum()
-
-    head, head_nnz = build_head(sp, rank, is_head)
+    head, head_nnz = _build_head(sp, rank, is_head, num_head, D)
     head_nnz = int(head_nnz)
 
-    # --- tail plans (sizes need a host sync to fix static shapes) ---
-    @partial(jax.jit, static_argnames=("num_segments",))
-    def tail_plan(word, seg, is_head, num_segments):
-        mask = (~is_head[word]) & (word < V)
-        return _pad8_plan(mask, seg, num_segments)
-
-    pos_d, padded_d, _ = tail_plan(sp.d_word, sp.d_doc, is_head, D)
-    pos_w, padded_w, _ = tail_plan(sp.w_word, sp.w_word, is_head, V)
+    # Tail plans: sizes need a host sync to fix static shapes.
+    pos_d, padded_d, _ = _tail_plan(sp.d_word, sp.d_doc, is_head, V, D)
+    pos_w, padded_w, _ = _tail_plan(sp.w_word, sp.w_word, is_head, V, V)
     Nt = int(jnp.sum(padded_d))
     Nw = int(jnp.sum(padded_w))
     Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
     Nw_pad = max(((Nw + chunk - 1) // chunk) * chunk, chunk)
 
-    # Per-octet segment ids: pads carry the spill id, so a min over each
-    # octet recovers the real segment (octets never straddle segments).
-    @partial(jax.jit, static_argnames=("n_pad", "seg_spill"))
-    def compact2(word, seg, val, pos, n_pad, seg_spill):
-        out_w = jnp.full((n_pad,), V, jnp.int32).at[pos].set(word, mode="drop")
-        out_v = jnp.zeros((n_pad,), jnp.float32).at[pos].set(val, mode="drop")
-        big = jnp.int32(seg_spill)
-        out_s = jnp.full((n_pad,), big).at[pos].set(seg, mode="drop")
-        oseg = jnp.min(out_s.reshape(n_pad // 8, 8), axis=1)
-        return out_w, out_v, oseg
-
-    td_word, td_val, td_odoc = compact2(
-        sp.d_word, sp.d_doc, sp.d_val, pos_d, Nt_pad, D
+    td_word, td_val, td_odoc = _compact_tail(
+        sp.d_word, sp.d_doc, sp.d_val, pos_d, V, Nt_pad, D
     )
-    _, tw_val, tw_oword = compact2(
-        sp.w_word, sp.w_word, sp.w_val, pos_w, Nw_pad, V
+    _, tw_val, tw_oword = _compact_tail(
+        sp.w_word, sp.w_word, sp.w_val, pos_w, V, Nw_pad, V
     )
-
-    @partial(jax.jit, static_argnames=("n_pad",))
-    def compact_docs(doc, pos, n_pad):
-        return jnp.full((n_pad,), D, jnp.int32).at[pos].set(doc, mode="drop")
-
-    tw_doc = compact_docs(sp.w_doc, pos_w, Nw_pad)
+    tw_doc = _compact_ids(sp.w_doc, pos_w, Nw_pad, D)
 
     return HybridSparse(
         head_words=head_words,

@@ -77,7 +77,7 @@ def _qr_ortho(V: jax.Array, F: jax.Array):
 
 
 def block_ks(
-    op: Callable[[jax.Array], jax.Array],
+    op: Callable[..., jax.Array],
     dim: int,
     nev: int,
     blk: int = 128,
@@ -86,13 +86,20 @@ def block_ks(
     steps_per_restart: Optional[int] = None,
     key: Optional[jax.Array] = None,
     timer=None,
+    op_data=None,
 ) -> EigResult:
     """Top-`nev` eigenpairs of the symmetric PSD operator `op` on R^dim.
 
-    op maps (dim, blk) -> (dim, blk). Shapes: keep = round_up(nev, blk)
-    Ritz pairs at restart; square Krylov dimension K = keep + s*blk with
-    s = steps_per_restart (default ceil(keep/blk)); ncv = K + blk basis
-    columns, mirroring the reference's ncv = 2 nev + blk.
+    op maps (dim, blk) -> (dim, blk); when `op_data` (any pytree) is given,
+    op is called as op(op_data, X) and the data flows through jit as an
+    ARGUMENT — closures capturing large arrays would bake them into the
+    HLO as constants, which this environment's remote-compile service
+    rejects outright (HTTP 413) and which bloats compile time everywhere.
+
+    Shapes: keep = round_up(nev, blk) Ritz pairs at restart; square Krylov
+    dimension K = keep + s*blk with s = steps_per_restart (default
+    ceil(keep/blk)); ncv = K + blk basis columns, mirroring the reference's
+    ncv = 2 nev + blk.
     """
     import time
 
@@ -116,7 +123,7 @@ def block_ks(
             f"eigensolver (nev={nev})"
         )
 
-    expand_step = _make_expand_step(op)
+    expand_step = _make_expand_step(op, with_data=op_data is not None)
     op_calls = 0
     op_seconds = 0.0
 
@@ -128,7 +135,7 @@ def block_ks(
 
     # Warm-up call so the op timer measures execution, not compilation
     # (the expand step is shape-stable across m; one compile serves all).
-    jax.block_until_ready(expand_step(V, H, 0))
+    jax.block_until_ready(expand_step(op_data, V, H, 0))
 
     m = 0  # active square columns of H
     restarts = 0
@@ -138,7 +145,7 @@ def block_ks(
         # --- expand to K ---
         while m < K:
             t0 = time.perf_counter()
-            V, H = expand_step(V, H, m)
+            V, H = expand_step(op_data, V, H, m)
             jax.block_until_ready(V)
             op_seconds += time.perf_counter() - t0
             op_calls += 1
@@ -188,13 +195,15 @@ def block_ks(
     )
 
 
-def _make_expand_step(op):
+def _make_expand_step(op, with_data: bool):
     @jax.jit
-    def expand_step(V: jax.Array, H: jax.Array, m) -> Tuple[jax.Array, jax.Array]:
+    def expand_step(
+        data, V: jax.Array, H: jax.Array, m
+    ) -> Tuple[jax.Array, jax.Array]:
         dim, ncv = V.shape
         blk = ncv - H.shape[1]
         Vk = jax.lax.dynamic_slice_in_dim(V, m, blk, axis=1)
-        F = op(Vk)
+        F = op(data, Vk) if with_data else op(Vk)
         # Orthogonalize against all active columns (inactive are zero).
         F, Hk = _dgks_project(V, F, rounds=2)
         Q, R, Cfix = _qr_ortho(V, F)

@@ -53,6 +53,17 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
                 ctypes.c_int32,
             ]
+            lib.isle_sort_dedup_entries.restype = ctypes.c_int64
+            lib.isle_sort_dedup_entries.argtypes = [
+                ctypes.POINTER(ctypes.c_int64)
+            ] * 3 + [ctypes.c_int64]
+            lib.isle_order_by.restype = ctypes.c_int64
+            lib.isle_order_by.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
             _lib = lib
             return _lib
     return None
@@ -97,6 +108,53 @@ def _parse_tdf_numpy(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         raise ValueError(f"{path}: token count {arr.size} not a multiple of 3")
     arr = arr.reshape(-1, 3)
     return arr[:, 0] - 1, arr[:, 1] - 1, arr[:, 2]
+
+
+def sort_dedup_entries(docs, words, counts):
+    """Sort by (doc, word), first-occurrence dedup. Native when available
+    (the 1-core host makes numpy's multi-pass lexsort a bottleneck at
+    corpus scale); numpy fallback otherwise. Returns new arrays."""
+    lib = _load()
+    n = len(docs)
+    if lib is not None and n and int(docs.max()) < 2**31 and int(words.max()) < 2**31:
+        d = np.ascontiguousarray(docs, np.int64)
+        w = np.ascontiguousarray(words, np.int64)
+        c = np.ascontiguousarray(counts, np.int64)
+        m = lib.isle_sort_dedup_entries(
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+        )
+        if m >= 0:
+            return d[:m], w[:m], c[:m]
+    order = np.lexsort((words, docs))
+    docs, words, counts = docs[order], words[order], counts[order]
+    if len(docs) > 1:
+        keep = np.empty(len(docs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (docs[1:] != docs[:-1]) | (words[1:] != words[:-1])
+        docs, words, counts = docs[keep], words[keep], counts[keep]
+    return docs, words, counts
+
+
+def order_by(major: np.ndarray, minor: np.ndarray) -> np.ndarray:
+    """Permutation sorting by (major, minor), stable. Native when possible."""
+    lib = _load()
+    n = len(major)
+    if lib is not None and n:
+        ma = np.ascontiguousarray(major, np.int32)
+        mi = np.ascontiguousarray(minor, np.int32)
+        perm = np.empty(n, np.int64)
+        rc = lib.isle_order_by(
+            ma.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+        )
+        if rc == 0:
+            return perm
+    return np.lexsort((minor, major))
 
 
 def write_sparse_model(

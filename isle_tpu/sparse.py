@@ -82,14 +82,16 @@ class DocSparse:
         doc_sorted: bool = True,
     ) -> "DocSparse":
         """Host-side constructor from COO arrays (doc-sorted unless stated)."""
+        from . import native
+
         words = np.asarray(words, np.int32)
         docs = np.asarray(docs, np.int32)
         vals = np.asarray(vals, np.float32)
         nnz = len(words)
         if not doc_sorted:
-            order = np.lexsort((words, docs))
+            order = native.order_by(docs, words)
             words, docs, vals = words[order], docs[order], vals[order]
-        worder = np.lexsort((docs, words))
+        worder = native.order_by(words, docs)
         npad = max(chunk, ((nnz + chunk - 1) // chunk) * chunk)
         return DocSparse(
             d_word=jnp.asarray(_pad_to(words, npad, vocab)),

@@ -92,7 +92,10 @@ def compute_thresholds_np(
     return zeta.astype(np.float32), int(nnz_w.sum())
 
 
-@partial(jax.jit, static_argnames=("vocab_size", "F", "count_gr", "count_eq"))
+@partial(
+    jax.jit,
+    static_argnames=("vocab_size", "F", "count_gr", "count_eq", "chunk"),
+)
 def _compute_thresholds_jax(
     words: jax.Array,
     vals: jax.Array,
@@ -100,15 +103,29 @@ def _compute_thresholds_jax(
     F: int,
     count_gr: int,
     count_eq: int,
+    chunk: int = 1 << 20,
 ) -> Tuple[jax.Array, jax.Array]:
-    r = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
-    # Padded entries carry word == vocab_size; give them bin 0 of a spill row.
-    key = words.astype(jnp.int32) * (F + 1) + r
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(key, dtype=jnp.int32),
-        key,
-        num_segments=(vocab_size + 1) * (F + 1),
-    ).reshape(vocab_size + 1, F + 1)[:vocab_size]
+    # Histogram as chunked one-hot ROW scatters (word -> F+1-wide row).
+    # A flat segment_sum over (vocab+1)*(F+1) scalar bins compiles
+    # pathologically on this TPU toolchain; row-wise vector scatters are
+    # the same pattern the SpMM kernels use and compile/run fast.
+    n = words.shape[0]
+    chunk = min(chunk, n)
+    assert n % chunk == 0
+    nchunks = n // chunk
+    r_all = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
+
+    def body(acc, args):
+        w, r = args
+        g = jax.nn.one_hot(r, F + 1, dtype=jnp.float32)
+        return acc.at[w].add(g), None
+
+    hist_f, _ = jax.lax.scan(
+        body,
+        jnp.zeros((vocab_size + 1, F + 1), jnp.float32),
+        (words.reshape(nchunks, chunk), r_all.reshape(nchunks, chunk)),
+    )
+    hist = hist_f[:vocab_size].astype(jnp.int32)
     hist = hist.at[:, 0].set(0)
     zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, jnp)
     return zeta.astype(jnp.float32), nnz_w.sum()

@@ -208,9 +208,10 @@ class Trainer:
             U = jnp.asarray(U_np, jnp.float32)
         else:
             res = block_ks(
-                lambda X: mat_gram_x(B, X, cfg.tpu.spmm_chunk),
+                lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
                 V,
                 k,
+                op_data=B,
                 blk=blk,
                 tol=hp.block_ks_tolerance,
                 max_restarts=hp.block_ks_max_iters,

@@ -9,9 +9,11 @@
 //
 // Build: make -C native   (produces libisle_io.so)
 
+#include <algorithm>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 
@@ -153,6 +155,87 @@ int64_t isle_write_sparse_model(const char* path, const float* model,
   }
   fclose(f);
   return total;
+}
+
+// Sort entries by (doc, word) keeping first occurrence of duplicates
+// (the ingest sort/dedup, reference src/trainer.cpp:237-247, made
+// deterministic). In-place on the three arrays; returns the deduplicated
+// count, or -1 on allocation failure.
+int64_t isle_sort_dedup_entries(int64_t* docs, int64_t* words,
+                                int64_t* counts, int64_t n) {
+  struct E {
+    uint64_t key;
+    uint32_t idx_hi;  // original index for stable keep-first semantics
+    uint32_t idx_lo;
+  };
+  E* es = static_cast<E*>(malloc(sizeof(E) * static_cast<size_t>(n)));
+  if (!es && n > 0) return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    es[i].key = (static_cast<uint64_t>(docs[i]) << 32) |
+                static_cast<uint32_t>(words[i]);
+    uint64_t u = static_cast<uint64_t>(i);
+    es[i].idx_hi = static_cast<uint32_t>(u >> 32);
+    es[i].idx_lo = static_cast<uint32_t>(u);
+  }
+  std::sort(es, es + n, [](const E& a, const E& b) {
+    if (a.key != b.key) return a.key < b.key;
+    if (a.idx_hi != b.idx_hi) return a.idx_hi < b.idx_hi;
+    return a.idx_lo < b.idx_lo;
+  });
+  // compact: keep the first occurrence (lowest original index) per key
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i == 0 || es[i].key != es[i - 1].key) es[m++] = es[i];
+  }
+  // materialize outputs (counts gathered via original index from a copy,
+  // since counts[] is also an output)
+  int64_t* counts_copy =
+      static_cast<int64_t*>(malloc(sizeof(int64_t) * static_cast<size_t>(n)));
+  if (!counts_copy && n > 0) {
+    free(es);
+    return -1;
+  }
+  memcpy(counts_copy, counts, sizeof(int64_t) * static_cast<size_t>(n));
+  for (int64_t i = 0; i < m; ++i) {
+    uint64_t src =
+        (static_cast<uint64_t>(es[i].idx_hi) << 32) | es[i].idx_lo;
+    docs[i] = static_cast<int64_t>(es[i].key >> 32);
+    words[i] = static_cast<int64_t>(es[i].key & 0xffffffffu);
+    counts[i] = counts_copy[src];
+  }
+  free(counts_copy);
+  free(es);
+  return m;
+}
+
+// Permutation sorting int32 (seg_major, seg_minor) pairs — used for the
+// word-major (CSR) ordering of already doc-sorted entries. perm must have
+// room for n int64s. Returns 0, or -1 on allocation failure.
+int64_t isle_order_by(const int32_t* major, const int32_t* minor,
+                      int64_t* perm, int64_t n) {
+  struct P {
+    uint64_t key;
+    uint32_t idx_hi, idx_lo;
+  };
+  P* ps = static_cast<P*>(malloc(sizeof(P) * static_cast<size_t>(n)));
+  if (!ps && n > 0) return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    ps[i].key = (static_cast<uint64_t>(static_cast<uint32_t>(major[i])) << 32) |
+                static_cast<uint32_t>(minor[i]);
+    uint64_t u = static_cast<uint64_t>(i);
+    ps[i].idx_hi = static_cast<uint32_t>(u >> 32);
+    ps[i].idx_lo = static_cast<uint32_t>(u);
+  }
+  std::sort(ps, ps + n, [](const P& a, const P& b) {
+    if (a.key != b.key) return a.key < b.key;
+    if (a.idx_hi != b.idx_hi) return a.idx_hi < b.idx_hi;
+    return a.idx_lo < b.idx_lo;
+  });
+  for (int64_t i = 0; i < n; ++i)
+    perm[i] = static_cast<int64_t>(
+        (static_cast<uint64_t>(ps[i].idx_hi) << 32) | ps[i].idx_lo);
+  free(ps);
+  return 0;
 }
 
 }  // extern "C"
