@@ -111,6 +111,10 @@ class TpuConfig:
     dense_head_bytes: int = 512 << 20
     # Use Pallas kernels where available (else pure-XLA fallbacks).
     use_pallas: bool = True
+    # Run the eigensolver's restart loop on-device in one lax.while_loop
+    # (no per-restart host syncs); False uses the host-driven loop with
+    # per-restart diagnostics.
+    device_loop_solver: bool = True
     # Matmul precision for parity-critical products (Gram matrices, QR).
     precise_matmul: str = "highest"
 

@@ -395,6 +395,21 @@ def _update_centers_full(sp, assign: jax.Array, k: int):
     return centers, counts
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _lloyds_iter_full(sp, centers: jax.Array, docs_l2: jax.Array, k: int):
+    """One fused Lloyd's iteration (assignment + centroid update) in a
+    single dispatch."""
+    dots = mat_bt_x(sp, centers.T)  # (D, k)
+    c_l2 = jnp.sum(centers * centers, axis=1)
+    dists = docs_l2[:, None] + c_l2[None, :] - 2.0 * dots
+    assign = jnp.argmin(dists, axis=1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+    sums = mat_b_y(sp, onehot)  # (vocab, k)
+    counts = jnp.sum(onehot, axis=0)
+    centers = jnp.where(counts[None, :] > 0, sums / counts[None, :], 0.0).T
+    return centers, assign
+
+
 def run_lloyds_full(
     sp, centers: jax.Array, max_reps: int, timer=None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -406,8 +421,7 @@ def run_lloyds_full(
     prev = None
     assign = None
     for rep in range(max_reps):
-        assign = _assign_full(sp, centers, docs_l2)
-        centers, _ = _update_centers_full(sp, assign, k)
+        centers, assign = _lloyds_iter_full(sp, centers, docs_l2, k)
         if prev is not None and bool(jnp.array_equal(assign, prev)):
             if timer is not None:
                 timer.diag(f"full lloyds converged at rep {rep}")

@@ -106,15 +106,85 @@ class DocSparse:
         )
 
     @staticmethod
-    def from_corpus(corpus, chunk: int = DEFAULT_CHUNK) -> "DocSparse":
-        return DocSparse.build(
-            corpus.rows,
-            corpus.doc_ids(),
-            corpus.vals,
-            corpus.vocab_size,
-            corpus.num_docs,
-            chunk=chunk,
+    def from_corpus(
+        corpus, chunk: int = DEFAULT_CHUNK, compact_upload: bool = True
+    ) -> "DocSparse":
+        """Device construction from a host corpus.
+
+        The tunnel to the chip moves ~17 MB/s, so the default path uploads
+        only word ids + raw counts in the smallest dtype (plus tiny
+        offsets/doc-sum vectors) and reconstructs doc ids, normalized
+        values, and the word-sorted copy ON DEVICE — ~5x fewer bytes than
+        shipping both fully-materialized sort orders."""
+        if not compact_upload or corpus.counts is None or corpus.nnz == 0:
+            return DocSparse.build(
+                corpus.rows,
+                corpus.doc_ids(),
+                corpus.vals,
+                corpus.vocab_size,
+                corpus.num_docs,
+                chunk=chunk,
+            )
+        V, D, nnz = corpus.vocab_size, corpus.num_docs, corpus.nnz
+        npad = max(chunk, ((nnz + chunk - 1) // chunk) * chunk)
+        cmax = corpus.counts.max() if nnz else 0
+        cdtype = (
+            np.uint8 if cmax < 256 else np.uint16 if cmax < 65536 else np.int32
         )
+        words = jnp.asarray(_pad_to(corpus.rows.astype(np.int32), npad, V))
+        counts = jnp.asarray(
+            _pad_to(corpus.counts.astype(cdtype), npad, 0)
+        )
+        offsets = jnp.asarray(corpus.offsets.astype(np.int32))
+        doc_sums = np.ones(D + 1, np.float32)
+        lengths = np.diff(corpus.offsets)
+        if nnz:
+            ds = np.add.reduceat(
+                corpus.counts.astype(np.float32),
+                np.minimum(corpus.offsets[:-1], nnz - 1),
+            )
+            ds[lengths == 0] = 1.0
+            doc_sums[:D] = ds
+        dw, dd, dv, ww, wd, wv = _device_build(
+            words,
+            counts,
+            offsets,
+            jnp.asarray(doc_sums),
+            np.float32(corpus.avg_doc_sz),
+            V,
+            D,
+            npad,
+        )
+        return DocSparse(
+            d_word=dw, d_doc=dd, d_val=dv,
+            w_word=ww, w_doc=wd, w_val=wv,
+            vocab=V, num_docs=D, nnz=nnz,
+        )
+
+
+@partial(jax.jit, static_argnames=("vocab", "num_docs", "npad"))
+def _device_build(words, counts, offsets, doc_sums, avg, vocab, num_docs, npad):
+    """Reconstruct the dual-sorted COO arrays on device from the compact
+    upload (see from_corpus)."""
+    # doc id per entry: +1 markers at each doc's start offset, cumsum.
+    # Empty docs repeat offsets, so scatter-ADD accumulates multiplicity;
+    # entries past offsets[num_docs] (padding) land at num_docs.
+    marks = jnp.zeros((npad,), jnp.int32).at[offsets[1:]].add(
+        1, mode="drop"
+    )
+    d_doc = jnp.cumsum(marks)
+    d_doc = jnp.minimum(d_doc, num_docs)
+    # normalized value = avg * (count / doc_sum) in f32, matching the host
+    # computation bit-for-bit (src/sparseMatrix.cpp:158-159 semantics).
+    c = counts.astype(jnp.float32)
+    d_val = jnp.where(
+        words < vocab, avg * (c / doc_sums[d_doc]), 0.0
+    ).astype(jnp.float32)
+    d_word = words
+    # word-sorted copy: lexicographic (word, doc) sort; padding (word ==
+    # vocab) sorts to the end.
+    ww, wd, wv = jax.lax.sort((d_word, d_doc, d_val), num_keys=2)
+    return d_word, d_doc, d_val, ww, wd, wv
 
 
 def _chunked_gather_segsum(

@@ -109,9 +109,17 @@ def _compute_thresholds_jax(
     # A flat segment_sum over (vocab+1)*(F+1) scalar bins compiles
     # pathologically on this TPU toolchain; row-wise vector scatters are
     # the same pattern the SpMM kernels use and compile/run fast.
+    import math as _math
+
     n = words.shape[0]
-    chunk = min(chunk, n)
-    assert n % chunk == 0
+    # Cap the one-hot intermediate at ~512 MB (chunk * (F+1) * 4 bytes),
+    # keeping chunk a power of two so it divides the padded length.
+    cap = max((1 << 27) // (F + 1), 1 << 12)
+    chunk = 1 << min(
+        int(_math.log2(chunk)), int(_math.log2(cap)), int(_math.log2(n))
+    )
+    while n % chunk:
+        chunk //= 2
     nchunks = n // chunk
     r_all = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
 

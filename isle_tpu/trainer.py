@@ -207,7 +207,10 @@ class Trainer:
             self.evalues = w_np.astype(np.float32)
             U = jnp.asarray(U_np, jnp.float32)
         else:
-            res = block_ks(
+            from .linalg import block_ks_device
+
+            solver = block_ks_device if cfg.tpu.device_loop_solver else block_ks
+            res = solver(
                 lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
                 V,
                 k,
@@ -397,6 +400,55 @@ class Trainer:
             )
         self.logger.info(f"Avg coherence: {float(np.mean(coh)):.4f}")
         self.timer.next("output summary")
+
+    def compute_input_svd(self) -> np.ndarray:
+        """Spectrum of the raw normalized matrix A — the reference's
+        diagnostic dump (src/trainer.cpp:409-423). Writes
+        A_squared_spectrum.txt and returns the squared singular values."""
+        A = DocSparse.from_corpus(self.corpus, chunk=self.config.tpu.spmm_chunk)
+        k = self.config.num_topics
+        res = block_ks(
+            lambda A_, X: mat_gram_x(A_, X, self.config.tpu.spmm_chunk),
+            self.corpus.vocab_size,
+            k,
+            op_data=A,
+            blk=self.config.hyper.block_ks_block_size,
+            tol=self.config.hyper.block_ks_tolerance,
+            max_restarts=self.config.hyper.block_ks_max_iters,
+            key=jax.random.PRNGKey(self.config.seed + 1),
+        )
+        path = os.path.join(self.run_dir, "A_squared_spectrum.txt")
+        with open(path, "w") as f:
+            for v in res.evals:
+                f.write(f"{v:.8g}\n")
+        self._print_eigen_data(res.evals, k)
+        self.timer.next("input SVD diagnostic")
+        return res.evals
+
+    def print_log_combinatorial(self) -> None:
+        """Per-doc log multinomial statistic dump
+        (src/trainer.cpp:378-389)."""
+        from .diagnostics import log_combinatorial
+
+        vals = log_combinatorial(self.corpus)
+        path = os.path.join(self.run_dir, "LogCombinatorial.txt")
+        with open(path, "w") as f:
+            for v in vals:
+                f.write(f"{v:.6g}\n")
+        self.timer.next("print log combinatorial")
+
+    def print_distinct_top_five_sets(self) -> None:
+        """Distinct top-5-word multiset counts (src/trainer.cpp:393-407)."""
+        from .diagnostics import count_distinct_top_five
+
+        counts = [
+            count_distinct_top_five(self.corpus, m)
+            for m in (2, 5, 10, 20, 50, 100, 200, 500)
+        ]
+        self.logger.info(
+            "Distinct top five sets: " + " ".join(str(c) for c in counts)
+        )
+        self.timer.next("distinct top-5 words")
 
     def get_model(self) -> np.ndarray:
         """C-API GetBasicModel analog (drivers/trainer_export.cpp:70-78)."""

@@ -1,0 +1,128 @@
+"""Coverage for model file formats, preprocessed artifacts, diagnostics,
+and the observability layer."""
+
+import os
+
+import numpy as np
+
+from isle_tpu import io_text, native
+from isle_tpu.corpus import Corpus
+from isle_tpu.diagnostics import (
+    count_distinct_top_five,
+    log_combinatorial,
+    topic_coherence,
+    topic_diversity,
+)
+from isle_tpu.obs import Logger, OpCounter, Timer
+from isle_tpu.preprocessed import load_preprocessed, save_preprocessed
+
+
+def small_corpus():
+    docs = np.array([0, 0, 1, 1, 2], np.int64)
+    words = np.array([0, 2, 1, 2, 0], np.int64)
+    counts = np.array([2, 1, 3, 1, 5], np.int64)
+    return Corpus.from_entries(docs, words, counts, vocab_size=3, num_docs=3)
+
+
+def test_sparse_model_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    m = rng.random((40, 7)).astype(np.float32)
+    m[m < 0.6] = 0.0
+    p = str(tmp_path / "model")
+    io_text.write_sparse_model(p, m)
+    back = io_text.load_sparse_model(p, 7, 40)
+    np.testing.assert_allclose(back, np.where(m > 1e-8, m, 0), atol=1e-6)
+
+
+def test_dense_model_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    m = rng.random((12, 3)).astype(np.float32)
+    p = str(tmp_path / "dense")
+    io_text.write_dense_model(p, m)
+    back = io_text.load_dense_model(p, 3, 12)
+    np.testing.assert_allclose(back, m, rtol=1e-5)
+
+
+def test_top_words_and_topics(tmp_path):
+    m = np.array([[0.5, 0.1], [0.3, 0.0], [0.2, 0.9]], np.float32)
+    tops = io_text.top_words_per_topic(m, 2)
+    assert tops[0][0][0] == 0 and tops[1][0][0] == 2
+    p = str(tmp_path / "tw.txt")
+    io_text.write_top_words(p, m, ["a", "b", "c"], 2)
+    assert open(p).read().splitlines()[0] == "a\tb"
+
+    w = np.array([[0.7, 0.2, 0.1], [0.2, 0.5, 0.3]], np.float32)
+    conv = np.array([True, False])
+    pt = str(tmp_path / "tt.txt")
+    io_text.write_top_topics(pt, w, conv)
+    lines = open(pt).read().splitlines()
+    # doc 1 (1-based): topics above 1/3: topic 1 (0.7); doc 2 skipped
+    assert lines[0].startswith("1\t1\t0.7")
+    assert all(l.split("\t")[0] == "1" for l in lines)
+
+
+def test_preprocessed_roundtrip(tmp_path):
+    c = small_corpus()
+    prefix = str(tmp_path / "pp")
+    save_preprocessed(c, prefix)
+    back = load_preprocessed(prefix)
+    assert back.vocab_size == c.vocab_size and back.num_docs == c.num_docs
+    np.testing.assert_array_equal(back.offsets, c.offsets)
+    np.testing.assert_array_equal(back.rows, c.rows)
+    np.testing.assert_allclose(back.vals, c.vals, rtol=1e-6)
+    assert back.avg_doc_sz == c.avg_doc_sz
+    # CSR sidecar exists and is consistent
+    off = np.fromfile(prefix + ".off", dtype=np.int64)
+    assert off[-1] == c.nnz
+
+
+def test_diagnostics():
+    c = small_corpus()
+    model = np.array(
+        [[0.6, 0.1], [0.1, 0.8], [0.3, 0.1]], np.float32
+    )
+    coh = topic_coherence(c, model, 2)
+    assert coh.shape == (2,) and (coh <= 0).all()
+    div = topic_diversity(model)
+    assert div >= 0
+    lc = log_combinatorial(c)
+    # doc 0: counts [2,1]: log(3!/2!1!) = log 3
+    np.testing.assert_allclose(lc[0], np.log(3.0), rtol=1e-5)
+    assert count_distinct_top_five(c, 0) >= 1
+
+
+def test_timer_logger(tmp_path):
+    lg = Logger(str(tmp_path), quiet=True)
+    seen = []
+    lg.add_sink("info", seen.append)
+    t = Timer(lg)
+    t.next("phase one")
+    lg.info("hello")
+    lg.diag("diag line")
+    lg.close()
+    assert seen == ["hello"]
+    assert "phase one" in open(os.path.join(str(tmp_path), "timerLog.txt")).read()
+    assert "diag line" in open(
+        os.path.join(str(tmp_path), "diagnosticLog.txt")
+    ).read()
+
+    oc = OpCounter("x")
+    oc.add(2.0, 4e9, 2)
+    assert abs(oc.gflops() - 2.0) < 1e-9
+    assert "2 calls" in oc.summary()
+
+
+def test_native_sort_dedup_matches_numpy():
+    rng = np.random.default_rng(3)
+    n = 5000
+    d = rng.integers(0, 50, n)
+    w = rng.integers(0, 60, n)
+    c = rng.integers(1, 10, n)
+    nd, nw, nc = native.sort_dedup_entries(d.copy(), w.copy(), c.copy())
+    order = np.lexsort((w, d))
+    ds, ws, cs = d[order], w[order], c[order]
+    keep = np.ones(n, bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (ws[1:] != ws[:-1])
+    np.testing.assert_array_equal(nd, ds[keep])
+    np.testing.assert_array_equal(nw, ws[keep])
+    np.testing.assert_array_equal(nc, cs[keep])

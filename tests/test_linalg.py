@@ -86,3 +86,21 @@ def test_restart_path():
     assert res.restarts > 0
     w_ref, _ = dense_topk_eigh(S, 6)
     np.testing.assert_allclose(res.evals, w_ref, rtol=1e-3)
+
+
+def test_device_loop_matches_host_loop():
+    from isle_tpu.linalg import block_ks_device
+
+    rng = np.random.default_rng(3)
+    dim = 150
+    A = rng.standard_normal((dim, 70)).astype(np.float32)
+    S = (A @ A.T).astype(np.float32)
+    nev = 6
+    r1 = block_ks(spd_op(S), dim, nev, blk=4, tol=1e-5, key=jax.random.PRNGKey(2))
+    r2 = block_ks_device(
+        spd_op(S), dim, nev, blk=4, tol=1e-5, key=jax.random.PRNGKey(2)
+    )
+    assert r2.nconv == nev
+    np.testing.assert_allclose(r2.evals, r1.evals, rtol=1e-4)
+    w_ref, _ = dense_topk_eigh(S, nev)
+    np.testing.assert_allclose(r2.evals, w_ref, rtol=1e-4)
