@@ -54,7 +54,8 @@ def synth_corpus(vocab: int, docs: int, nnz: int, seed: int = 0):
     return d, w, c
 
 
-def run_pipeline(platform: str, shape: dict, seed: int, queue=None):
+def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
+                 warmup: bool = True):
     if platform == "cpu":
         os.environ.setdefault("XLA_FLAGS", "")
         import jax
@@ -91,22 +92,57 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None):
     # Second run in-process reuses every compiled program (identical
     # static shapes), measuring execution the way an amortized production
     # service would see it; the cold number includes this environment's
-    # erratic remote-compile latency (see BENCH_NOTES.md).
-    tr2 = Trainer(cfg, output_dir=out_dir, quiet=True)
-    tr2.corpus = corpus
-    tr2._post_ingest()
-    t0 = time.perf_counter()
-    tr2.train()
-    train_s = time.perf_counter() - t0
-    for label, wall, cpu in tr2.timer.phases:
-        print(f"#   warm phase {label}: {wall:.2f}s", file=sys.stderr)
+    # erratic remote-compile latency (see BENCH_NOTES.md). The CPU proxy
+    # skips the warm rerun (its local compiles disk-cache across runs).
+    if warmup:
+        tr2 = Trainer(cfg, output_dir=out_dir, quiet=True)
+        tr2.corpus = corpus
+        tr2._post_ingest()
+        t0 = time.perf_counter()
+        tr2.train()
+        train_s = time.perf_counter() - t0
+        for label, wall, cpu in tr2.timer.phases:
+            print(f"#   warm phase {label}: {wall:.2f}s", file=sys.stderr)
+    else:
+        tr2 = tr
+        train_s = cold_s
     print(f"# cold train_s: {cold_s:.1f}s, warm train_s: {train_s:.1f}s",
           file=sys.stderr)
     gflops = tr2.op_counter.gflops()
+
+    # MWU inference throughput over the full corpus (ISLEInfer's workload:
+    # drivers/ISLEInfer.cpp; docs re-normalized to unit mass).
+    import dataclasses as _dc
+
+    from isle_tpu.mwu import build_infer_batch, infer_all
+
+    # unit-mass normalization: vals = counts / doc_sum = vals / avg_doc_sz
+    infer_corpus = _dc.replace(
+        corpus, vals=(corpus.vals / np.float32(corpus.avg_doc_sz)).astype(
+            np.float32
+        )
+    )
+    model = tr2.get_model()
+    batch = build_infer_batch(infer_corpus, model.sum(axis=1))
+    t0 = time.perf_counter()
+    w, conv, llh, _ = infer_all(model, batch, iters=15, Lf=10.0)
+    infer_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    w, conv, llh, _ = infer_all(model, batch, iters=15, Lf=10.0)
+    infer_s = time.perf_counter() - t0
+    print(
+        f"# infer: {corpus.num_docs} docs, cold {infer_cold:.1f}s, warm "
+        f"{infer_s:.1f}s ({corpus.num_docs / max(infer_s, 1e-9):.0f} docs/s), "
+        f"converged {int(conv.sum())}",
+        file=sys.stderr,
+    )
+
     result = dict(
         train_s=train_s,
         cold_s=cold_s,
         svd_gflops=gflops,
+        infer_s=infer_s,
+        infer_docs_per_s=corpus.num_docs / max(infer_s, 1e-9),
         platform=str(jax.devices()[0].platform),
         nnz=corpus.nnz,
     )
@@ -137,7 +173,9 @@ def main():
         # CPU proxy in a subprocess so the backend choice doesn't leak.
         ctx = mp.get_context("spawn")
         q = ctx.Queue()
-        p = ctx.Process(target=run_pipeline, args=("cpu", cpu_shape, 0, q))
+        p = ctx.Process(
+            target=run_pipeline, args=("cpu", cpu_shape, 0, q, False)
+        )
         p.start()
         cpu_res = q.get()
         p.join()
@@ -153,10 +191,11 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"e2e train wall-clock, synthetic {label} "
-                    f"({shape['vocab']} vocab x {shape['docs']} docs, "
-                    f"{res['nnz']} nnz, k={shape['k']}); "
-                    f"SVD SpMM {res['svd_gflops']:.1f} GFLOP/s on "
+                    f"e2e train wall-clock (compile-amortized), synthetic "
+                    f"{label} ({shape['vocab']} vocab x {shape['docs']} "
+                    f"docs, {res['nnz']} nnz, k={shape['k']}); SVD SpMM "
+                    f"{res['svd_gflops']:.1f} GFLOP/s; MWU infer "
+                    f"{res['infer_docs_per_s']:.0f} docs/s on "
                     f"{res['platform']}"
                 ),
                 "value": round(res["train_s"], 2),

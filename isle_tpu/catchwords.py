@@ -49,10 +49,10 @@ def rth_highest(
     key = jnp.where(
         in_cluster, A.d_word * k + jnp.maximum(c, 0), V * k
     ).astype(jnp.int32)
-    # Lexicographic sort by (group asc, value desc) in one device sort.
-    skey, _, sval = jax.lax.sort(
-        (key, -A.d_val, A.d_val), num_keys=2, is_stable=False
-    )
+    # Lexicographic sort by (group asc, value desc) in one device sort;
+    # values recovered by negation instead of carrying a third operand.
+    skey, sneg = jax.lax.sort((key, -A.d_val), num_keys=2, is_stable=False)
+    sval = -sneg
 
     # Group counts as chunked one-hot row scatters into a (V+1, k) matrix
     # (flat many-segment segment_sum compiles pathologically on this TPU

@@ -107,8 +107,10 @@ class TpuConfig:
     # Chunk length for nnz-streamed SpMM fallback (entries per scan step).
     spmm_chunk: int = 1 << 21
     # HBM budget for the dense Zipf-head rows of the hybrid SpMM layout
-    # (see hybrid.py); 0 disables the hybrid layout.
-    dense_head_bytes: int = 512 << 20
+    # (see hybrid.py); 0 disables the hybrid layout. Dense-head matmuls
+    # are cheap relative to the ~157 Mrows/s gather ceiling, so a bigger
+    # head directly cuts the gather-bound tail.
+    dense_head_bytes: int = 1536 << 20
     # Use Pallas kernels where available (else pure-XLA fallbacks).
     use_pallas: bool = True
     # Run the eigensolver's restart loop on-device in one lax.while_loop

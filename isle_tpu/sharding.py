@@ -135,6 +135,217 @@ def from_doc_sparse(sp: DocSparse, mesh: Mesh) -> ShardedDocSparse:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WordSharded:
+    """Word-axis sharding: each device owns a contiguous, nnz-balanced
+    word range (the multi-chip analog of the reference's word-major CSR
+    sidecar, src/trainer.cpp:296-362). Word ids are LOCAL to the shard;
+    doc ids stay global. Word-parallel stages (zeta thresholds, r-th
+    highest catchword statistics) then run with NO communication beyond
+    assembling small per-word outputs."""
+
+    w_word: jax.Array  # (S, n_pad) local word ids, pad = words_per_shard
+    w_doc: jax.Array  # (S, n_pad) global doc ids, pad = num_docs
+    w_val: jax.Array  # (S, n_pad)
+    vocab: int = dataclasses.field(metadata=dict(static=True))
+    num_docs: int = dataclasses.field(metadata=dict(static=True))
+    words_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    # host-side metadata (not part of the pytree)
+    word_start: np.ndarray = dataclasses.field(
+        metadata=dict(static=False), default=None
+    )
+
+    @property
+    def num_shards(self) -> int:
+        return self.w_word.shape[0]
+
+
+def shard_by_word(
+    words: np.ndarray,
+    docs: np.ndarray,
+    vals: np.ndarray,
+    vocab: int,
+    num_docs: int,
+    mesh: Mesh,
+    pad_multiple: int = 1 << 13,
+) -> WordSharded:
+    """Host-side: word-sorted COO split into nnz-balanced contiguous word
+    ranges, one per device."""
+    S = mesh.devices.size
+    words = np.asarray(words, np.int64)
+    order = np.argsort(words, kind="stable")
+    words, docs, vals = words[order], np.asarray(docs)[order], np.asarray(vals)[order]
+    n = len(words)
+    # nnz-balanced boundaries on word ids
+    targets = (np.arange(1, S) * n) // S
+    cut_words = words[np.minimum(targets, max(n - 1, 0))] + 1 if n else np.array([])
+    bounds_w = np.concatenate([[0], cut_words, [vocab]]).astype(np.int64)
+    bounds_w = np.maximum.accumulate(bounds_w)
+    bounds_n = np.searchsorted(words, bounds_w)
+    wps = int(max((np.diff(bounds_w)).max() if S else vocab, 1))
+    max_n = int((np.diff(bounds_n)).max()) if n else 0
+    n_pad = max(pad_multiple, -(-max_n // pad_multiple) * pad_multiple)
+
+    ww = np.full((S, n_pad), wps, np.int32)
+    wd = np.full((S, n_pad), num_docs, np.int32)
+    wv = np.zeros((S, n_pad), np.float32)
+    for s in range(S):
+        lo, hi = bounds_n[s], bounds_n[s + 1]
+        ww[s, : hi - lo] = words[lo:hi] - bounds_w[s]
+        wd[s, : hi - lo] = docs[lo:hi]
+        wv[s, : hi - lo] = vals[lo:hi]
+    sh = NamedSharding(mesh, P(AXIS))
+    put = lambda x: jax.device_put(x, sh)
+    return WordSharded(
+        w_word=put(ww),
+        w_doc=put(wd),
+        w_val=put(wv),
+        vocab=vocab,
+        num_docs=num_docs,
+        words_per_shard=wps,
+        nnz=n,
+        word_start=bounds_w[:-1],
+    )
+
+
+def sharded_thresholds(
+    ws: WordSharded, avg_doc_sz: float, nz_docs: int, num_topics: int, hyper,
+    mesh: Mesh,
+) -> Tuple[np.ndarray, int]:
+    """Per-word zeta cutoffs, word-parallel with zero communication
+    (assembly of the small per-word outputs happens host-side).
+    Returns (zetas (vocab,), new_nnz)."""
+    from .thresholds import freq_bound, _zeta_from_hist
+
+    F = freq_bound(avg_doc_sz)
+    count_gr = hyper.count_gr(nz_docs, num_topics)
+    count_eq = hyper.count_eq(nz_docs, num_topics)
+    wps = ws.words_per_shard
+
+    def f(w_word, w_val):
+        w = w_word[0]
+        v = w_val[0]
+        n = w.shape[0]
+        chunk = max(min(1 << 18, n), 1)
+        while n % chunk:
+            chunk //= 2
+        r = jnp.clip(jnp.floor(v + 0.5).astype(jnp.int32), 0, F)
+
+        def body(acc, args):
+            wi, ri = args
+            return acc.at[wi].add(jax.nn.one_hot(ri, F + 1, dtype=jnp.float32)), None
+
+        init = jax.lax.pvary(jnp.zeros((wps + 1, F + 1), jnp.float32), AXIS)
+        hist, _ = jax.lax.scan(
+            body,
+            init,
+            (w.reshape(n // chunk, chunk), r.reshape(n // chunk, chunk)),
+        )
+        hist = hist[:wps].astype(jnp.int32)
+        hist = hist.at[:, 0].set(0)
+        zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, jnp)
+        return zeta[None].astype(jnp.float32), nnz_w[None]
+
+    zl, nnzl = jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+    )(ws.w_word, ws.w_val)
+    zl = np.asarray(zl)
+    nnzl = np.asarray(nnzl)
+    zetas = np.ones(ws.vocab, np.float32)
+    new_nnz = 0
+    bounds = np.concatenate([ws.word_start, [ws.vocab]])
+    for s in range(ws.num_shards):
+        width = int(bounds[s + 1] - bounds[s])
+        zetas[bounds[s] : bounds[s + 1]] = zl[s][:width]
+        new_nnz += int(nnzl[s][:width].sum())
+    return zetas, new_nnz
+
+
+def sharded_rth_highest(
+    ws: WordSharded,
+    cluster_of_doc: np.ndarray,
+    cluster_sizes: np.ndarray,
+    num_topics: int,
+    r: int,
+    mesh: Mesh,
+) -> np.ndarray:
+    """Catchword statistics, word-parallel: each shard sorts only its own
+    word range (S-fold smaller sorts than the single-device path).
+    Returns thresholds (num_topics, vocab)."""
+    assert r >= 1
+    k = num_topics
+    wps = ws.words_per_shard
+    cl = jnp.asarray(
+        np.concatenate([cluster_of_doc.astype(np.int32), [-1]])
+    )
+    csz = jnp.asarray(cluster_sizes.astype(np.int32))
+
+    def f(w_word, w_doc, w_val, cl, csz):
+        w = w_word[0]
+        d = w_doc[0]
+        v = w_val[0]
+        n = w.shape[0]
+        c = cl[d]
+        in_cluster = c >= 0
+        key = jnp.where(in_cluster, w * k + jnp.maximum(c, 0), wps * k).astype(
+            jnp.int32
+        )
+        skey, sneg = jax.lax.sort((key, -v), num_keys=2, is_stable=False)
+        sval = -sneg
+
+        chunk = max(min(1 << 18, n), 1)
+        while n % chunk:
+            chunk //= 2
+
+        def body(acc, args):
+            kk, ic = args
+            g = jax.nn.one_hot(kk % k, k, dtype=jnp.float32) * ic[:, None]
+            return acc.at[kk // k].add(g), None
+
+        init = jax.lax.pvary(jnp.zeros((wps + 1, k), jnp.float32), AXIS)
+        cm, _ = jax.lax.scan(
+            body,
+            init,
+            (
+                key.reshape(n // chunk, chunk),
+                in_cluster.astype(jnp.float32).reshape(n // chunk, chunk),
+            ),
+        )
+        counts = jnp.concatenate(
+            [cm[:wps].reshape(wps * k), jnp.zeros((k,), jnp.float32)]
+        ).astype(jnp.int32)
+        starts = jnp.cumsum(counts) - counts
+        rth = sval[jnp.clip(starts + (r - 1), 0, n - 1)]
+        gmin = sval[jnp.clip(starts + counts - 1, 0, n - 1)]
+        counts2 = counts[: wps * k].reshape(wps, k)
+        rth = rth[: wps * k].reshape(wps, k)
+        gmin = gmin[: wps * k].reshape(wps, k)
+        thr = jnp.where(counts2 > r, rth, 0.0)
+        degenerate = (
+            (counts2 <= r) & (r >= csz[None, :]) & (counts2 == csz[None, :])
+            & (csz[None, :] > 0)
+        )
+        thr = jnp.where(degenerate, gmin, thr)
+        return thr.T[None].astype(jnp.float32)  # (1, k, wps)
+
+    tl = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=P(AXIS),
+    )(ws.w_word, ws.w_doc, ws.w_val, cl, csz)
+    tl = np.asarray(tl)  # (S, k, wps)
+    out = np.zeros((k, ws.vocab), np.float32)
+    bounds = np.concatenate([ws.word_start, [ws.vocab]])
+    for s in range(ws.num_shards):
+        width = int(bounds[s + 1] - bounds[s])
+        out[:, bounds[s] : bounds[s + 1]] = tl[s][:, :width]
+    return out
+
+
 def _shard_specs(ssp: ShardedDocSparse):
     return ShardedDocSparse(
         d_word=P(AXIS),

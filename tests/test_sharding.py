@@ -81,3 +81,35 @@ def test_sharded_train_step_runs(problem):
     # assignments cover real docs
     a = np.asarray(assign).reshape(-1)[:D]
     assert ((a >= 0) & (a < k)).all()
+
+
+def test_sharded_thresholds_matches_single(problem):
+    from isle_tpu.config import HyperParams
+    from isle_tpu.sharding import shard_by_word, sharded_thresholds
+    from isle_tpu.thresholds import compute_thresholds_np
+
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    hp = HyperParams()
+    avg, nz, k = 6.0, D, 3
+    ws = shard_by_word(w, d, v, V, D, mesh, pad_multiple=64)
+    zetas, nnz = sharded_thresholds(ws, avg, nz, k, hp, mesh)
+    z_ref, nnz_ref = compute_thresholds_np(w, v, V, avg, nz, k, hp)
+    np.testing.assert_array_equal(zetas, z_ref)
+    assert nnz == nnz_ref
+
+
+def test_sharded_rth_matches_single(problem):
+    from isle_tpu.catchwords import rth_highest
+    from isle_tpu.sharding import shard_by_word, sharded_rth_highest
+
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    rng = np.random.default_rng(7)
+    k = 4
+    cluster = rng.integers(-1, k, D).astype(np.int32)
+    sizes = np.bincount(cluster[cluster >= 0], minlength=k).astype(np.int32)
+    ws = shard_by_word(w, d, v, V, D, mesh, pad_multiple=64)
+    got = sharded_rth_highest(ws, cluster, sizes, k, 2, mesh)
+    ref = np.asarray(
+        rth_highest(sp, jnp.asarray(cluster), jnp.asarray(sizes), k, 2)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
