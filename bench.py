@@ -160,7 +160,26 @@ def main():
     shape = TINY if args.tiny else (SMALL if args.small else NYT)
     label = "tiny" if args.tiny else ("small" if args.small else "nytimes")
 
-    res = run_pipeline("default", shape, seed=0)
+    # TPU leg in a subprocess so a backend fault doesn't kill the bench;
+    # the tunnel/remote-compile service occasionally drops a worker
+    # (BENCH_NOTES.md) — retry once in a fresh process.
+    ctx = mp.get_context("spawn")
+    res = None
+    for attempt in range(2):
+        q = ctx.Queue()
+        p = ctx.Process(target=run_pipeline, args=("default", shape, 0, q))
+        p.start()
+        p.join()
+        try:
+            res = q.get_nowait()
+        except Exception:
+            res = None
+        if res is not None:
+            break
+        print(f"# TPU run attempt {attempt} failed; retrying", file=sys.stderr)
+    if res is None:
+        print("# TPU pipeline failed twice; running in-process", file=sys.stderr)
+        res = run_pipeline("default", shape, seed=0)
 
     vs_baseline = 0.0
     if not args.no_cpu_proxy:

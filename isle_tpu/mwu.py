@@ -161,10 +161,6 @@ def infer_all(
     weights and zero llh (drivers/ISLEInfer.cpp:95-111 behavior)."""
     V, k = model.shape
     D, L = batch.word_idx.shape
-    if block_size <= 0:
-        # keep the gathered block under ~2 GiB
-        block_size = max(1, min(D, (1 << 29) // max(L * k, 1)))
-        block_size = int(2 ** math.floor(math.log2(block_size)))
     Mw = jnp.concatenate(
         [jnp.asarray(model, jnp.float32), jnp.zeros((1, k), jnp.float32)]
     )
@@ -172,22 +168,42 @@ def infer_all(
     conv = np.zeros(D, bool)
     s_all = np.zeros(D, np.float32)
     Lf0 = jnp.float32(Lf)
-    for lo in range(0, D, block_size):
-        hi = min(lo + block_size, D)
-        bs = hi - lo
-        wi = batch.word_idx[lo:hi]
-        av = batch.a[lo:hi]
-        if bs < block_size:  # pad the tail block to the static shape
-            wi = np.concatenate(
-                [wi, np.full((block_size - bs, L), V, np.int32)]
+
+    # Bucket docs by kept length: the padded layout is front-loaded, so a
+    # doc with n kept words only needs the first n columns; docs far below
+    # the global max L waste einsum work otherwise (real corpora have
+    # heavily skewed doc lengths).
+    kept = (batch.word_idx < V).sum(axis=1)
+    edges = [e for e in (32, 128, 512, 2048, 8192) if e < L] + [L]
+    prev = -1
+    for edge in edges:
+        sel = np.flatnonzero((kept > prev) & (kept <= edge))
+        prev = edge
+        if len(sel) == 0:
+            continue
+        bs_cap = block_size
+        if bs_cap <= 0:
+            # keep the gathered block under ~2 GiB
+            bs_cap = max(1, min(len(sel), (1 << 29) // max(edge * k, 1)))
+            bs_cap = int(2 ** math.floor(math.log2(bs_cap)))
+        for lo in range(0, len(sel), bs_cap):
+            idx = sel[lo : lo + bs_cap]
+            bs = len(idx)
+            wi = batch.word_idx[idx, :edge]
+            av = batch.a[idx, :edge]
+            if bs < bs_cap:  # pad the tail block to the static shape
+                wi = np.concatenate(
+                    [wi, np.full((bs_cap - bs, edge), V, np.int32)]
+                )
+                av = np.concatenate(
+                    [av, np.zeros((bs_cap - bs, edge), np.float32)]
+                )
+            w, c, s = _mwu_block(
+                Mw, jnp.asarray(wi), jnp.asarray(av), iters, Lf0, max_guesses
             )
-            av = np.concatenate(
-                [av, np.zeros((block_size - bs, L), np.float32)]
-            )
-        w, c, s = _mwu_block(Mw, jnp.asarray(wi), jnp.asarray(av), iters, Lf0, max_guesses)
-        weights[lo:hi] = np.asarray(w)[:bs]
-        conv[lo:hi] = np.asarray(c)[:bs]
-        s_all[lo:hi] = np.asarray(s)[:bs]
+            weights[idx] = np.asarray(w)[:bs]
+            conv[idx] = np.asarray(c)[:bs]
+            s_all[idx] = np.asarray(s)[:bs]
     llh_doc = np.where(conv, s_all * np.float32(batch.avg_doc_sz), 0.0)
     llh_weighted = np.where(conv, s_all * batch.words_in_doc, 0.0)
     weights = np.where(conv[:, None], weights, np.float32(1.0 / k))

@@ -88,3 +88,32 @@ def test_small_blocks_match_one_block():
     np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+
+
+def test_skewed_lengths_bucketing():
+    # Doc lengths spanning buckets: results must match per-doc literal runs.
+    rng = np.random.default_rng(5)
+    V, k = 400, 4
+    M = make_model(rng, V, k)
+    docs, words, counts = [], [], []
+    lengths = [1, 3, 30, 33, 120, 150, 350]
+    for d, n in enumerate(lengths):
+        ws = rng.choice(np.arange(1, V), size=n, replace=False)
+        for w in np.sort(ws):
+            docs.append(d)
+            words.append(w)
+            counts.append(int(rng.integers(1, 4)))
+    corpus = Corpus.from_entries(
+        np.array(docs), np.array(words), np.array(counts),
+        vocab_size=V, num_docs=len(lengths), normalize_to_one=True,
+    )
+    batch = build_infer_batch(corpus, M.sum(axis=1))
+    weights, conv, llh, _ = infer_all(M, batch, iters=15, Lf=10.0)
+    for d in range(len(lengths)):
+        lo, hi = corpus.offsets[d], corpus.offsets[d + 1]
+        rows, vals = corpus.rows[lo:hi], corpus.vals[lo:hi]
+        keep = M[rows].sum(axis=1) > 1e-10
+        w_ref, conv_ref = mwu_literal(vals[keep], M[rows[keep]], k, 15, 10.0)
+        assert bool(conv[d]) == conv_ref, d
+        if conv_ref:
+            np.testing.assert_allclose(weights[d], w_ref, rtol=5e-4, atol=1e-5)
