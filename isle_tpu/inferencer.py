@@ -113,15 +113,22 @@ class Inferencer:
         self.timer.next("load inference data")
         result = self.infer_corpus(corpus, doc_begin)
         if write_outputs:
-            name = (
-                f"top_topics_iters_{cfg.resolved_iters()}"
-                f"_Lf_{cfg.resolved_Lf():.6f}_doc_{doc_begin}_to_{doc_end}"
-            )
-            io_text.write_top_topics(
-                os.path.join(self.output_dir, name),
-                result.weights,
-                result.converged,
-                doc_begin=doc_begin,
-            )
+            # One output file per 1M-doc block, as the reference's parallel
+            # inference path does (drivers/ISLEInfer.cpp:66-84).
+            block = 1_000_000
+            D = corpus.num_docs
+            for lo in range(0, max(D, 1), block):
+                hi = min(lo + block, D)
+                name = (
+                    f"top_topics_iters_{cfg.resolved_iters()}"
+                    f"_Lf_{cfg.resolved_Lf():.6f}"
+                    f"_doc_{doc_begin + lo}_to_{doc_begin + hi}"
+                )
+                io_text.write_top_topics(
+                    os.path.join(self.output_dir, name),
+                    result.weights[lo:hi],
+                    result.converged[lo:hi],
+                    doc_begin=doc_begin + lo,
+                )
             self.timer.next("write top topics")
         return result
