@@ -68,7 +68,7 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
     jax.config.update("jax_compilation_cache_dir", "/tmp/isle_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from isle_tpu.config import HyperParams, TrainConfig
+    from isle_tpu.config import TrainConfig
     from isle_tpu.corpus import Corpus
     from isle_tpu.trainer import Trainer
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sparse import DocSparse, _pad_to
+from .sparse import DocSparse
 
 
 @jax.jit

@@ -21,8 +21,6 @@ threshold matrix — no pairwise loop.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

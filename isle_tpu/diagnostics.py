@@ -14,7 +14,7 @@ computed from raw document frequencies of the corpus.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

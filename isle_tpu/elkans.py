@@ -17,15 +17,11 @@ hosts (CPU backend) where masking does help.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from .matops import mat_bt_x, mat_doc_l2sq
-from .sparse import DocSparse
 from .kmeans import _update_centers_full
 
 HI = jax.lax.Precision.HIGHEST

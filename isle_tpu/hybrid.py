@@ -28,12 +28,8 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from .sparse import DocSparse
 
 HI = jax.lax.Precision.HIGHEST

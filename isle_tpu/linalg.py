@@ -29,7 +29,6 @@ accumulation), matching the reference's sgemm.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

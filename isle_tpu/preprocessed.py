@@ -14,8 +14,6 @@ on device, so these artifacts load straight into it.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from .corpus import Corpus

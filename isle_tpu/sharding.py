@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .sparse import DocSparse, _pad_to
+from .sparse import DocSparse
 
 AXIS = "docs"
 
@@ -344,22 +344,6 @@ def sharded_rth_highest(
         width = int(bounds[s + 1] - bounds[s])
         out[:, bounds[s] : bounds[s + 1]] = tl[s][:, :width]
     return out
-
-
-def _shard_specs(ssp: ShardedDocSparse):
-    return ShardedDocSparse(
-        d_word=P(AXIS),
-        d_doc=P(AXIS),
-        d_val=P(AXIS),
-        w_word=P(AXIS),
-        w_doc=P(AXIS),
-        w_val=P(AXIS),
-        doc_offset=P(AXIS),
-        vocab=ssp.vocab,
-        docs_per_shard=ssp.docs_per_shard,
-        num_docs=ssp.num_docs,
-        nnz=ssp.nnz,
-    )
 
 
 def _local_bt_x(word, doc, val, X, dps):

@@ -17,9 +17,8 @@ directory (the reference restarts only from final artifacts; SURVEY.md
 
 from __future__ import annotations
 
-import json
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

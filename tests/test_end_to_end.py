@@ -147,3 +147,33 @@ def test_timer_and_checkpoints_written(trained):
     assert os.path.exists(os.path.join(tr.run_dir, "timerLog.txt"))
     for stage in ("svd", "kmeans", "model"):
         assert os.path.exists(os.path.join(tr.run_dir, f"ckpt_{stage}.npz"))
+
+
+def test_heldout_inference(trained, tmp_path):
+    """Enron-config pattern (BASELINE.md): train on 90% of docs, infer the
+    held-out 10%; held-out docs of planted topics should still converge
+    and recover their topic."""
+    tmp, tr, truth, tdf, V, D, k = trained
+    rng = np.random.default_rng(7)
+    text, ho_truth = planted_corpus(rng, V, 40, k)
+    ho = tmp_path / "heldout.tdf"
+    ho.write_text(text)
+    from isle_tpu import io_text
+
+    path = os.path.join(tr.run_dir, "M_hat_catch_sparse")
+    inf = Inferencer(
+        InferConfig(num_topics=k, vocab_size=V),
+        model_file=path,
+        output_dir=str(tmp_path / "out"),
+        quiet=True,
+    )
+    res = inf.infer_file(str(ho), doc_begin=1, doc_end=41, write_outputs=True)
+    assert res.num_converged >= 36
+    dom = np.argmax(res.weights, axis=1)
+    match = 0
+    for t in range(k):
+        vals, counts = np.unique(dom[ho_truth == t], return_counts=True)
+        match += counts.max()
+    assert match / len(dom) > 0.75
+    files = os.listdir(str(tmp_path / "out"))
+    assert any(f.startswith("top_topics_iters_15") for f in files)
