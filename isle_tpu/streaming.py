@@ -1,0 +1,463 @@
+"""Out-of-core training: the corpus A stays in host RAM and streams
+through the device in doc-aligned chunks; only the (much smaller)
+thresholded+sampled matrix B lives on device.
+
+This is the big-data mode for corpora whose dual-sorted nnz arrays exceed
+HBM (UCI PubMed: 8.2M docs, ~730M nnz ~ 18 GB > 16 GB HBM). It plays the
+role of the reference's preprocessed-chunk streaming (2^24-nnz word chunks
+for thresholds, src/trainer.cpp:438-469; DOC_BLOCK_SIZE streaming
+everywhere) with the chunk axis being host->device transfer instead of
+cache locality.
+
+Every stage that touches A becomes an additive or filtering pass:
+  1. threshold histogram       — additive (V, F) accumulation per chunk
+  2. doc weights + sampling    — additive (D,) accumulation per chunk
+  3. B construction            — per-chunk keep/compact appended on device
+  4. r-th-highest statistics   — per-chunk filter to clustered docs (the
+                                  sampled ~10%), then the in-core kernel
+  5. doc-topic mass            — additive (D, k) accumulation per chunk
+  6. topic-model accumulation  — additive (V, k) accumulation per chunk
+Floating-point accumulation order within each doc matches the in-core
+kernels (chunks are doc-aligned); cross-stage results agree to fp32
+round-off, which the streamed-vs-incore equality test pins down.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .corpus import Corpus
+from .sparse import DocSparse
+from .thresholds import freq_bound, _zeta_from_hist
+
+
+def doc_chunks(corpus: Corpus, target_entries: int) -> Iterator[Tuple[int, int]]:
+    """Yield (doc_lo, doc_hi) ranges of ~target_entries nnz each."""
+    D = corpus.num_docs
+    offsets = corpus.offsets
+    max_doc = int(np.diff(offsets).max()) if D else 0
+    assert max_doc <= target_entries, (
+        f"chunk_entries={target_entries} smaller than the largest doc "
+        f"({max_doc} nnz)"
+    )
+    lo = 0
+    while lo < D:
+        # largest hi with offsets[hi] - offsets[lo] <= target_entries
+        hi = int(
+            np.searchsorted(
+                offsets, offsets[lo] + target_entries, side="right"
+            )
+            - 1
+        )
+        hi = max(min(hi, D), lo + 1)
+        yield lo, hi
+        lo = hi
+
+
+@partial(jax.jit, static_argnames=("F",), donate_argnums=(0,))
+def _hist_accum(hist, words, vals, F: int):
+    r = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
+    n = words.shape[0]
+    chunk = max(min(1 << 17, n), 1)
+    while n % chunk:
+        chunk //= 2
+
+    def body(acc, args):
+        wi, ri = args
+        return acc.at[wi].add(jax.nn.one_hot(ri, F + 1, dtype=jnp.float32)), None
+
+    out, _ = jax.lax.scan(
+        body, hist, (words.reshape(-1, chunk), r.reshape(-1, chunk))
+    )
+    return out
+
+
+def streamed_thresholds(
+    corpus: Corpus, num_topics: int, hyper, chunk_entries: int = 1 << 25
+) -> Tuple[jax.Array, int]:
+    """Stage 1: zeta cutoffs without materializing A on device."""
+    V = corpus.vocab_size
+    F = freq_bound(corpus.avg_doc_sz)
+    hist = jnp.zeros((V + 1, F + 1), jnp.float32)
+    n_pad = chunk_entries
+    for lo, hi in doc_chunks(corpus, chunk_entries):
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        assert b - a <= n_pad
+        w = jnp.asarray(
+            np.pad(corpus.rows[a:b].astype(np.int32), (0, n_pad - (b - a)),
+                   constant_values=V)
+        )
+        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
+        hist = _hist_accum(hist, w, v, F)
+    h = hist[:V].astype(jnp.int32)
+    h = h.at[:, 0].set(0)
+    zeta, nnz_w = _zeta_from_hist(
+        h,
+        hyper.count_gr(corpus.nz_docs, num_topics),
+        hyper.count_eq(corpus.nz_docs, num_topics),
+        jnp,
+    )
+    return zeta.astype(jnp.float32), int(nnz_w.sum())
+
+
+@partial(jax.jit, static_argnames=("num_docs",), donate_argnums=(0,))
+def _weight_accum(weights, words, vals, docs, zetas, num_docs: int):
+    z = jnp.concatenate([zetas, jnp.zeros((1,), jnp.float32)])
+    keep = jnp.floor(vals + 0.5) >= jnp.concatenate(
+        [zetas, jnp.full((1,), jnp.inf)]
+    )[words]
+    contrib = jnp.where(keep, z[words], 0.0)
+    return weights.at[docs].add(contrib)
+
+
+def streamed_doc_weights(
+    corpus: Corpus, zetas: jax.Array, chunk_entries: int = 1 << 25
+) -> jax.Array:
+    """Stage 2 input: per-doc importance weights (sum of passing zetas,
+    src/sparseMatrix.cpp:1383-1397)."""
+    D, V = corpus.num_docs, corpus.vocab_size
+    weights = jnp.zeros((D + 1,), jnp.float32)
+    for lo, hi in doc_chunks(corpus, chunk_entries):
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        n_pad = chunk_entries
+        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
+                               (0, n_pad - (b - a)), constant_values=V))
+        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
+        d = jnp.asarray(np.pad(
+            np.repeat(np.arange(lo, hi, dtype=np.int32),
+                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
+            (0, n_pad - (b - a)), constant_values=D,
+        ))
+        weights = _weight_accum(weights, w, v, d, zetas, D)
+    return weights[:D]
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def _chunk_compact(words, vals, docs, keep, n_out: int):
+    pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, n_out)
+    kw = jnp.zeros((n_out,), jnp.int32).at[pos].set(words, mode="drop")
+    kv = jnp.zeros((n_out,), jnp.float32).at[pos].set(vals, mode="drop")
+    kd = jnp.zeros((n_out,), jnp.int32).at[pos].set(docs, mode="drop")
+    return kw, kv, kd, keep.sum()
+
+
+def streamed_build_b(
+    corpus: Corpus,
+    zetas: jax.Array,
+    select_docs: Optional[jax.Array],
+    spmm_chunk: int,
+    chunk_entries: int = 1 << 25,
+) -> Tuple[DocSparse, np.ndarray]:
+    """Stage 3: B (thresholded, sqrt-zeta, doc-renumbered, dual-sorted)
+    assembled on device from streamed chunks."""
+    D, V = corpus.num_docs, corpus.vocab_size
+    zline = jnp.concatenate([zetas, jnp.full((1,), jnp.inf, jnp.float32)])
+    sqz = jnp.concatenate([jnp.sqrt(zetas), jnp.zeros((1,), jnp.float32)])
+    sel = (
+        jnp.concatenate([select_docs, jnp.zeros((1,), bool)])
+        if select_docs is not None
+        else None
+    )
+    parts_w, parts_v, parts_d = [], [], []
+    total = 0
+    for lo, hi in doc_chunks(corpus, chunk_entries):
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        n_pad = chunk_entries
+        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
+                               (0, n_pad - (b - a)), constant_values=V))
+        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
+        d = jnp.asarray(np.pad(
+            np.repeat(np.arange(lo, hi, dtype=np.int32),
+                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
+            (0, n_pad - (b - a)), constant_values=D,
+        ))
+        keep = (jnp.floor(v + 0.5) >= zline[w]) & (w < V)
+        if sel is not None:
+            keep = keep & sel[d]
+        kw, kv, kd, cnt = _chunk_compact(w, sqz[w], d, keep, n_pad)
+        cnt = int(cnt)
+        parts_w.append(kw[:cnt])
+        parts_v.append(kv[:cnt])
+        parts_d.append(kd[:cnt])
+        total += cnt
+
+    npad = max(spmm_chunk, ((total + spmm_chunk - 1) // spmm_chunk) * spmm_chunk)
+    dw = jnp.concatenate(parts_w + [jnp.full((npad - total,), V, jnp.int32)])
+    dv = jnp.concatenate(parts_v + [jnp.zeros((npad - total,), jnp.float32)])
+    dd_glob = jnp.concatenate(
+        parts_d + [jnp.full((npad - total,), D, jnp.int32)]
+    )
+    # doc renumbering over global occupancy
+    occ = (
+        jax.ops.segment_sum(
+            (dd_glob < D).astype(jnp.int32), dd_glob, num_segments=D + 1
+        )[:D]
+        > 0
+    )
+    new_doc = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    nz_docs = int(occ.sum())
+    original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
+    remap = jnp.concatenate([new_doc, jnp.full((1,), nz_docs, jnp.int32)])
+    dd = remap[jnp.minimum(dd_glob, D)]
+    dd = jnp.where(dd_glob >= D, nz_docs, dd)
+    ww, wd, wv = jax.lax.sort((dw, dd, dv), num_keys=2)
+    B = DocSparse(
+        d_word=dw, d_doc=dd, d_val=dv, w_word=ww, w_doc=wd, w_val=wv,
+        vocab=V, num_docs=nz_docs, nnz=total,
+    )
+    return B, original_cols
+
+
+def streamed_filter_clustered(
+    corpus: Corpus,
+    cluster_of_doc: np.ndarray,
+    spmm_chunk: int,
+    chunk_entries: int = 1 << 25,
+) -> DocSparse:
+    """Stage 4 input: the sub-matrix of A restricted to clustered docs
+    (global doc ids preserved), as a device DocSparse for rth_highest and
+    catchword statistics."""
+    D, V = corpus.num_docs, corpus.vocab_size
+    cl = jnp.asarray(
+        np.concatenate([cluster_of_doc.astype(np.int32), [-1]])
+    )
+    parts = []
+    total = 0
+    for lo, hi in doc_chunks(corpus, chunk_entries):
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        n_pad = chunk_entries
+        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
+                               (0, n_pad - (b - a)), constant_values=V))
+        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
+        d = jnp.asarray(np.pad(
+            np.repeat(np.arange(lo, hi, dtype=np.int32),
+                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
+            (0, n_pad - (b - a)), constant_values=D,
+        ))
+        keep = (cl[d] >= 0) & (w < V)
+        kw, kv, kd, cnt = _chunk_compact(w, v, d, keep, n_pad)
+        cnt = int(cnt)
+        parts.append((kw[:cnt], kv[:cnt], kd[:cnt]))
+        total += cnt
+    npad = max(spmm_chunk, ((total + spmm_chunk - 1) // spmm_chunk) * spmm_chunk)
+    dw = jnp.concatenate([p[0] for p in parts]
+                         + [jnp.full((npad - total,), V, jnp.int32)])
+    dv = jnp.concatenate([p[1] for p in parts]
+                         + [jnp.zeros((npad - total,), jnp.float32)])
+    dd = jnp.concatenate([p[2] for p in parts]
+                         + [jnp.full((npad - total,), D, jnp.int32)])
+    # rth_highest only reads the doc-sorted arrays; fill the word-sorted
+    # slots with the same data (unused there).
+    return DocSparse(
+        d_word=dw, d_doc=dd, d_val=dv, w_word=dw, w_doc=dd, w_val=dv,
+        vocab=V, num_docs=D, nnz=total,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "num_docs"), donate_argnums=(0,))
+def _mass_accum(mass, words, vals, docs, cwt, k: int, num_docs: int):
+    t = cwt[words]
+    is_cw = t >= 0
+    dd = jnp.where(is_cw, docs, num_docs)
+    tt = jnp.maximum(t, 0)
+    return mass.at[dd, tt].add(jnp.where(is_cw, vals, 0.0))
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _model_accum(model, words, vals, docs, W, k: int):
+    rows = jnp.take(W, docs, axis=0, fill_value=0.0) * vals[:, None]
+    return model.at[words].add(rows)
+
+
+def streamed_topic_model(
+    corpus: Corpus,
+    cw_topic: np.ndarray,
+    cluster_of_doc: np.ndarray,
+    num_topics: int,
+    rank_threshold: int,
+    want_top_pairs: bool,
+    chunk_entries: int = 1 << 25,
+):
+    """Stages 5-6: catchword mass + model accumulation over streamed A.
+    Semantics identical to topic_model.construct_topic_model."""
+    from .topic_model import model_thresholds, top_two_topics, _contribution_weights
+
+    D, V, k = corpus.num_docs, corpus.vocab_size, num_topics
+    cwt = jnp.asarray(np.concatenate([cw_topic.astype(np.int32), [-1]]))
+    mass = jnp.zeros((D + 1, k), jnp.float32)
+    chunks = list(doc_chunks(corpus, chunk_entries))
+
+    def load(lo, hi):
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        n_pad = chunk_entries
+        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
+                               (0, n_pad - (b - a)), constant_values=V))
+        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
+        d = jnp.asarray(np.pad(
+            np.repeat(np.arange(lo, hi, dtype=np.int32),
+                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
+            (0, n_pad - (b - a)), constant_values=D,
+        ))
+        return w, v, d
+
+    for lo, hi in chunks:
+        w, v, d = load(lo, hi)
+        mass = _mass_accum(mass, w, v, d, cwt, k, D)
+    mass = mass[:D]
+
+    has_cw = jax.ops.segment_sum(
+        (jnp.asarray(cw_topic) >= 0).astype(jnp.int32),
+        jnp.maximum(jnp.asarray(cw_topic), 0),
+        num_segments=k,
+    ) > 0
+    thr = model_thresholds(mass, has_cw, rank_threshold)
+    pairs = top_two_topics(mass) if want_top_pairs else None
+    W = _contribution_weights(mass, thr, jnp.asarray(cluster_of_doc))
+
+    model = jnp.zeros((V + 1, k), jnp.float32)
+    for lo, hi in chunks:
+        w, v, d = load(lo, hi)
+        model = _model_accum(model, w, v, d, W, k)
+    model = model[:V]
+    sums = jnp.sum(model, axis=0)
+    model = jnp.where(sums[None, :] != 0.0, model / sums[None, :], model)
+    return model, pairs
+
+
+class StreamedTrainer:
+    """Out-of-core variant of Trainer: same pipeline, A streamed from host.
+    Use for corpora whose nnz arrays exceed HBM (BASELINE.md's PubMed
+    config). API mirrors Trainer for the stages it supports."""
+
+    def __init__(self, config, output_dir: str = ".", quiet: bool = True,
+                 chunk_entries: int = 1 << 25):
+        from .trainer import Trainer
+
+        self._t = Trainer(config, output_dir=output_dir, quiet=quiet)
+        self.chunk_entries = chunk_entries
+
+    def __getattr__(self, name):
+        return getattr(self._t, name)
+
+    def train(self) -> None:
+        from .catchwords import catchword_topic_map, find_catchwords, rth_highest
+        from .hybrid import to_hybrid
+        from .kmeans import (
+            kmeans_init_on_projected,
+            run_lloyds_full,
+            run_lloyds_projected,
+        )
+        from .linalg import block_ks_device
+        from .matops import mat_b_y, mat_bt_x, mat_gram_x
+
+        t = self._t
+        cfg = t.config
+        hp = cfg.hyper
+        k = cfg.num_topics
+        corpus = t.corpus
+        D, V = corpus.num_docs, corpus.vocab_size
+        key = jax.random.PRNGKey(cfg.seed)
+        ce = self.chunk_entries
+
+        zetas, new_nnz = streamed_thresholds(corpus, k, hp, ce)
+        t.logger.info(f"Entries above threshold: {new_nnz}")
+        t.timer.next("streamed thresholds")
+
+        select = None
+        if cfg.sample_docs:
+            weights = streamed_doc_weights(corpus, zetas, ce)
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (D,), jnp.float32)
+            dice = jnp.where(
+                weights > 0.0,
+                jnp.power(u, 1.0 / jnp.maximum(weights, 1e-30)),
+                0.0,
+            )
+            pivot = jnp.sort(dice)[::-1][int(cfg.sample_rate * D)]
+            select = dice >= pivot
+            t.timer.next("streamed doc sampling")
+
+        key, sub = jax.random.split(key)  # keep key schedule aligned
+        B, original_cols = streamed_build_b(
+            corpus, zetas, select, cfg.tpu.spmm_chunk, ce
+        )
+        t.original_cols = original_cols
+        t.logger.info(
+            f"Columns remaining after thresholding: {B.num_docs} nnz(B): {B.nnz}"
+        )
+        t.timer.next("streamed B construction")
+
+        if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
+            num_head = min(
+                V, cfg.tpu.dense_head_bytes // max(4 * B.num_docs, 1)
+            )
+            if num_head >= 8:
+                B = to_hybrid(B, int(num_head), chunk=cfg.tpu.spmm_chunk)
+        t.timer.next("hybrid layout")
+
+        key, sub = jax.random.split(key)
+        res = block_ks_device(
+            lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
+            V, k, op_data=B, blk=hp.block_ks_block_size,
+            tol=hp.block_ks_tolerance, max_restarts=hp.block_ks_max_iters,
+            key=sub, timer=t.timer,
+        )
+        t.evalues = res.evals
+        U = res.evecs
+        t.timer.next("eigen solve (B B^T)")
+
+        P = mat_bt_x(B, U, cfg.tpu.spmm_chunk).T
+        key, sub = jax.random.split(key)
+        seeds, centers_lowd, _ = kmeans_init_on_projected(
+            P, k, hp.kmeans_init_reps, sub, method=hp.kmeans_init_method
+        )
+        centers_lowd, _ = run_lloyds_projected(
+            P, centers_lowd, hp.max_kmeans_lowd_reps
+        )
+        centers_full = jnp.matmul(
+            centers_lowd, U.T, precision=jax.lax.Precision.HIGHEST
+        )
+        centers_full, assign = run_lloyds_full(
+            B, centers_full, hp.max_kmeans_reps
+        )
+        t.centers = np.asarray(centers_full)
+        t.timer.next("k-means")
+
+        assign_h = np.asarray(assign)
+        cluster_of_doc = np.full(D, -1, np.int32)
+        cluster_of_doc[original_cols] = assign_h
+        t.cluster_of_doc = cluster_of_doc
+        sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
+
+        r = hp.catchword_rank(
+            D, k, cfg.sample_rate if cfg.sample_docs else None
+        )
+        r = max(r, 1)
+        A_sub = streamed_filter_clustered(
+            corpus, cluster_of_doc, cfg.tpu.spmm_chunk, ce
+        )
+        thr = rth_highest(
+            A_sub, jnp.asarray(cluster_of_doc), jnp.asarray(sizes), k, r
+        )
+        t.catchword_thresholds = np.asarray(thr)
+        is_cw = np.asarray(find_catchwords(thr, hp.rho))
+        cwt = catchword_topic_map(is_cw)
+        t.catchwords = [np.flatnonzero(is_cw[i]) for i in range(k)]
+        t.timer.next("streamed catchwords")
+
+        model, pairs = streamed_topic_model(
+            corpus, cwt, cluster_of_doc, k,
+            hp.model_rank_threshold(D, k),
+            want_top_pairs=cfg.compute_edge_topics,
+            chunk_entries=ce,
+        )
+        t.model = np.asarray(model)
+        if pairs is not None:
+            t.top_pairs = tuple(np.asarray(x) for x in pairs)
+        t.timer.next("streamed topic model")
+        t.is_training_complete = True

@@ -1,0 +1,88 @@
+"""Streamed (out-of-core) pipeline must agree with the in-core Trainer."""
+
+import numpy as np
+import pytest
+
+from isle_tpu.config import HyperParams, TrainConfig
+from isle_tpu.streaming import (
+    StreamedTrainer,
+    streamed_build_b,
+    streamed_thresholds,
+)
+from isle_tpu.thresholds import compute_thresholds_np
+from isle_tpu.trainer import Trainer
+from test_end_to_end import planted_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_pair(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stream")
+    rng = np.random.default_rng(11)
+    V, D, k = 60, 300, 4
+    text, truth = planted_corpus(rng, V, D, k)
+    tdf = tmp / "c.tdf"
+    tdf.write_text(text)
+    return tmp, str(tdf), V, D, k
+
+
+def test_streamed_thresholds_match(corpus_pair):
+    tmp, tdf, V, D, k = corpus_pair
+    from isle_tpu.corpus import Corpus
+
+    c = Corpus.from_tdf_file(tdf)
+    hp = HyperParams()
+    z, nnz = streamed_thresholds(c, k, hp, chunk_entries=512)
+    z_ref, nnz_ref = compute_thresholds_np(
+        c.rows, c.vals, c.vocab_size, c.avg_doc_sz, c.nz_docs, k, hp
+    )
+    np.testing.assert_array_equal(np.asarray(z), z_ref)
+    assert nnz == nnz_ref
+
+
+def test_streamed_b_matches_incore(corpus_pair):
+    tmp, tdf, V, D, k = corpus_pair
+    import jax.numpy as jnp
+
+    from isle_tpu.bmatrix import threshold_and_copy
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.sparse import DocSparse, to_dense
+
+    c = Corpus.from_tdf_file(tdf)
+    hp = HyperParams()
+    z, _ = streamed_thresholds(c, k, hp, chunk_entries=512)
+    B_s, oc_s = streamed_build_b(c, z, None, spmm_chunk=256, chunk_entries=512)
+    A = DocSparse.from_corpus(c, chunk=256)
+    B_i, oc_i = threshold_and_copy(A, z, chunk=256)
+    np.testing.assert_array_equal(oc_s, oc_i)
+    assert B_s.nnz == B_i.nnz and B_s.num_docs == B_i.num_docs
+    np.testing.assert_allclose(to_dense(B_s), to_dense(B_i), atol=1e-6)
+    # word-sorted copy consistent
+    ww = np.asarray(B_s.w_word)[: B_s.nnz]
+    assert (np.diff(ww) >= 0).all()
+
+
+def test_streamed_trainer_matches_incore(corpus_pair):
+    tmp, tdf, V, D, k = corpus_pair
+    cfg = TrainConfig(num_topics=k, seed=3, compute_edge_topics=True,
+                      max_edge_topics=5,
+                      hyper=HyperParams(block_ks_block_size=8))
+    t1 = Trainer(cfg, output_dir=str(tmp / "a"), quiet=True)
+    t1.load_data_from_file(tdf)
+    t1.train()
+
+    t2 = StreamedTrainer(cfg, output_dir=str(tmp / "b"), chunk_entries=1024)
+    t2._t.load_data_from_file(tdf)
+    t2.train()
+
+    # same thresholds -> same B -> same spectrum; clustering/model agree to
+    # fp tolerance (different but equivalent solver paths/seeds schedules)
+    np.testing.assert_allclose(
+        np.sort(t2.evalues), np.sort(t1.evalues), rtol=1e-3
+    )
+    np.testing.assert_array_equal(t2.original_cols, t1.original_cols)
+    assert t2.model.shape == t1.model.shape
+    np.testing.assert_allclose(t2.model.sum(axis=0), 1.0, rtol=1e-4)
+    # identical seed + identical stages where shared: clusters should agree
+    agree = (t2.cluster_of_doc == t1.cluster_of_doc).mean()
+    assert agree > 0.95
+    np.testing.assert_allclose(t2.model, t1.model, atol=2e-3)
