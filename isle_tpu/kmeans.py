@@ -76,10 +76,12 @@ def _kmeanspp_loop(P: jax.Array, key: jax.Array, k: int, nb_max: int):
         cumul = jnp.cumsum(min_dist)
         total = cumul[-1]
         s = count
-        # batch size: 1 + sqrt(max(s-5, 0)) candidate draws this round
-        nb = 1 + jnp.sqrt(jnp.maximum(s - 5, 0).astype(jnp.float32)).astype(
-            jnp.int32
-        )
+        # Candidate draws this round: the reference's loop runs while
+        # c < 1 + sqrt(max(s-5, 0)) with a FLOAT bound
+        # (src/sparseMatrix.cpp:2183), i.e. ceil(1 + sqrt(.)) iterations.
+        nb = jnp.ceil(
+            1.0 + jnp.sqrt(jnp.maximum(s - 5, 0).astype(jnp.float32))
+        ).astype(jnp.int32)
 
         key, sub = jax.random.split(key)
         dice = jax.random.uniform(sub, (nb_max,), jnp.float32) * total

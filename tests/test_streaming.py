@@ -86,3 +86,27 @@ def test_streamed_trainer_matches_incore(corpus_pair):
     agree = (t2.cluster_of_doc == t1.cluster_of_doc).mean()
     assert agree > 0.95
     np.testing.assert_allclose(t2.model, t1.model, atol=2e-3)
+
+
+def test_trainer_preprocessed_ingest(corpus_pair):
+    """PREPROCESSED_DATA_LOAD mode: save binary sidecars, train from them;
+    results match the text-ingest path (raw counts are absent, so the
+    compact upload falls back to direct transfer)."""
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.preprocessed import save_preprocessed
+
+    tmp, tdf, V, D, k = corpus_pair
+    c = Corpus.from_tdf_file(tdf)
+    prefix = str(tmp / "pp")
+    save_preprocessed(c, prefix)
+
+    cfg = TrainConfig(num_topics=k, seed=3,
+                      hyper=HyperParams(block_ks_block_size=8))
+    t1 = Trainer(cfg, output_dir=str(tmp / "pp_run"), quiet=True)
+    t1.load_preprocessed(prefix)
+    t1.train()
+
+    t2 = Trainer(cfg, output_dir=str(tmp / "txt_run"), quiet=True)
+    t2.load_data_from_file(tdf)
+    t2.train()
+    np.testing.assert_allclose(t1.model, t2.model, atol=2e-4)
