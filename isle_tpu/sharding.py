@@ -233,18 +233,26 @@ def sharded_thresholds(
         while n % chunk:
             chunk //= 2
         r = jnp.clip(jnp.floor(v + 0.5).astype(jnp.int32), 0, F)
+        nbanks = (F + 1 + 127) // 128
 
         def body(acc, args):
             wi, ri = args
-            return acc.at[wi].add(jax.nn.one_hot(ri, F + 1, dtype=jnp.float32)), None
+            row = wi * nbanks + ri // 128
+            return acc.at[row].add(
+                jax.nn.one_hot(ri % 128, 128, dtype=jnp.float32)
+            ), None
 
-        init = jax.lax.pvary(jnp.zeros((wps + 1, F + 1), jnp.float32), AXIS)
+        init = jax.lax.pvary(
+            jnp.zeros(((wps + 1) * nbanks, 128), jnp.float32), AXIS
+        )
         hist, _ = jax.lax.scan(
             body,
             init,
             (w.reshape(n // chunk, chunk), r.reshape(n // chunk, chunk)),
         )
-        hist = hist[:wps].astype(jnp.int32)
+        hist = hist.reshape(wps + 1, nbanks * 128)[:wps, : F + 1].astype(
+            jnp.int32
+        )
         hist = hist.at[:, 0].set(0)
         zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, jnp)
         return zeta[None].astype(jnp.float32), nnz_w[None]

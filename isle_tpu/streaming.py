@@ -60,19 +60,25 @@ def doc_chunks(corpus: Corpus, target_entries: int) -> Iterator[Tuple[int, int]]
 
 
 @partial(jax.jit, static_argnames=("F",), donate_argnums=(0,))
-def _hist_accum(hist, words, vals, F: int):
+def _hist_accum(hist_banked, words, vals, F: int):
+    """Accumulate into a value-banked histogram (see thresholds.banked_hist
+    for the layout rationale): rows = word * nbanks + value // 128."""
     r = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
+    nbanks = (F + 1 + 127) // 128
     n = words.shape[0]
-    chunk = max(min(1 << 17, n), 1)
+    chunk = max(min(1 << 18, n), 1)
     while n % chunk:
         chunk //= 2
 
     def body(acc, args):
         wi, ri = args
-        return acc.at[wi].add(jax.nn.one_hot(ri, F + 1, dtype=jnp.float32)), None
+        row = wi * nbanks + ri // 128
+        return acc.at[row].add(
+            jax.nn.one_hot(ri % 128, 128, dtype=jnp.float32)
+        ), None
 
     out, _ = jax.lax.scan(
-        body, hist, (words.reshape(-1, chunk), r.reshape(-1, chunk))
+        body, hist_banked, (words.reshape(-1, chunk), r.reshape(-1, chunk))
     )
     return out
 
@@ -83,7 +89,8 @@ def streamed_thresholds(
     """Stage 1: zeta cutoffs without materializing A on device."""
     V = corpus.vocab_size
     F = freq_bound(corpus.avg_doc_sz)
-    hist = jnp.zeros((V + 1, F + 1), jnp.float32)
+    nbanks = (F + 1 + 127) // 128
+    hist = jnp.zeros(((V + 1) * nbanks, 128), jnp.float32)
     n_pad = chunk_entries
     for lo, hi in doc_chunks(corpus, chunk_entries):
         a, b = corpus.offsets[lo], corpus.offsets[hi]
@@ -94,7 +101,7 @@ def streamed_thresholds(
         )
         v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
         hist = _hist_accum(hist, w, v, F)
-    h = hist[:V].astype(jnp.int32)
+    h = hist.reshape(V + 1, nbanks * 128)[:V, : F + 1].astype(jnp.int32)
     h = h.at[:, 0].set(0)
     zeta, nnz_w = _zeta_from_hist(
         h,

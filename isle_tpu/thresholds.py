@@ -92,6 +92,45 @@ def compute_thresholds_np(
     return zeta.astype(np.float32), int(nnz_w.sum())
 
 
+def banked_hist(
+    words: jax.Array,
+    r: jax.Array,
+    num_rows: int,
+    F: int,
+    chunk: int = 1 << 20,
+) -> jax.Array:
+    """(num_rows, F+1) float32 histogram of integer values r in [0, F]
+    keyed by `words`, as chunked 128-wide one-hot scatters.
+
+    Two compile/runtime hazards shape this: a flat segment_sum over
+    rows*(F+1) scalar bins compiles pathologically on this TPU toolchain,
+    and one-hot rows wider than the 128-lane registers scatter slowly. So
+    the value axis splits into 128-wide banks — scatter row index =
+    word * nbanks + r // 128, one-hot lane = r % 128 — reshaped back at
+    the end."""
+    import math as _math
+
+    n = words.shape[0]
+    nbanks = (F + 1 + 127) // 128
+    chunk = 1 << min(int(_math.log2(chunk)), int(_math.log2(n)))
+    while n % chunk:
+        chunk //= 2
+    nchunks = n // chunk
+
+    def body(acc, args):
+        w, rr = args
+        row = w * nbanks + rr // 128
+        g = jax.nn.one_hot(rr % 128, 128, dtype=jnp.float32)
+        return acc.at[row].add(g), None
+
+    hist_f, _ = jax.lax.scan(
+        body,
+        jnp.zeros((num_rows * nbanks, 128), jnp.float32),
+        (words.reshape(nchunks, chunk), r.reshape(nchunks, chunk)),
+    )
+    return hist_f.reshape(num_rows, nbanks * 128)[:, : F + 1]
+
+
 @partial(
     jax.jit,
     static_argnames=("vocab_size", "F", "count_gr", "count_eq", "chunk"),
@@ -105,35 +144,10 @@ def _compute_thresholds_jax(
     count_eq: int,
     chunk: int = 1 << 20,
 ) -> Tuple[jax.Array, jax.Array]:
-    # Histogram as chunked one-hot ROW scatters (word -> F+1-wide row).
-    # A flat segment_sum over (vocab+1)*(F+1) scalar bins compiles
-    # pathologically on this TPU toolchain; row-wise vector scatters are
-    # the same pattern the SpMM kernels use and compile/run fast.
-    import math as _math
-
-    n = words.shape[0]
-    # Cap the one-hot intermediate at ~512 MB (chunk * (F+1) * 4 bytes),
-    # keeping chunk a power of two so it divides the padded length.
-    cap = max((1 << 27) // (F + 1), 1 << 12)
-    chunk = 1 << min(
-        int(_math.log2(chunk)), int(_math.log2(cap)), int(_math.log2(n))
-    )
-    while n % chunk:
-        chunk //= 2
-    nchunks = n // chunk
     r_all = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
-
-    def body(acc, args):
-        w, r = args
-        g = jax.nn.one_hot(r, F + 1, dtype=jnp.float32)
-        return acc.at[w].add(g), None
-
-    hist_f, _ = jax.lax.scan(
-        body,
-        jnp.zeros((vocab_size + 1, F + 1), jnp.float32),
-        (words.reshape(nchunks, chunk), r_all.reshape(nchunks, chunk)),
-    )
-    hist = hist_f[:vocab_size].astype(jnp.int32)
+    hist = banked_hist(words, r_all, vocab_size + 1, F, chunk)[
+        :vocab_size
+    ].astype(jnp.int32)
     hist = hist.at[:, 0].set(0)
     zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, jnp)
     return zeta.astype(jnp.float32), nnz_w.sum()
