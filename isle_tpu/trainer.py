@@ -135,7 +135,11 @@ class Trainer:
     # Training
     # ------------------------------------------------------------------
 
-    def train(self) -> None:
+    def train(self, resume: bool = False) -> None:
+        """Run the pipeline; with resume=True, completed stages restore
+        from the run directory's checkpoints (mid-run restartability the
+        reference lacks — it restarts only from final artifacts,
+        SURVEY.md §5.4)."""
         assert self.corpus is not None, "load data first"
         cfg = self.config
         hp = cfg.hyper
@@ -144,21 +148,62 @@ class Trainer:
         D = self.corpus.num_docs
         key = jax.random.PRNGKey(cfg.seed)
 
+        ck = self._load_checkpoints() if resume else {}
+        if "model" in ck:
+            m = ck["model"]
+            self.model = m["model"]
+            if "is_cw" in m:
+                is_cw = m["is_cw"]
+                self.catchwords = [np.flatnonzero(is_cw[t]) for t in range(k)]
+                self.catchword_thresholds = m.get("catchword_thresholds")
+            if "t1" in m:
+                self.top_pairs = (m["t1"], m["t2"], m["valid"])
+            if "kmeans" in ck:
+                self.centers = ck["kmeans"]["centers"]
+                self.cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
+            if "svd" in ck:
+                self.evalues = ck["svd"]["evalues"]
+                self.original_cols = ck["svd"]["original_cols"]
+            self.logger.info("resumed from 'model' checkpoint")
+            self.is_training_complete = True
+            return
+        resume_kmeans = "kmeans" in ck
+        resume_svd = "svd" in ck
+
         A = DocSparse.from_corpus(self.corpus, chunk=cfg.tpu.spmm_chunk)
         self.timer.next("upload A to device")
 
         # 1. thresholds
-        zetas, new_nnz = compute_thresholds_jax(
-            A.d_word,
-            A.d_val,
-            V,
-            self.corpus.avg_doc_sz,
-            self.corpus.nz_docs,
-            k,
-            hp,
-        )
-        self.logger.info(f"Entries above threshold: {int(new_nnz)}")
-        self.timer.next("computing thresholds")
+        if resume_svd:
+            zetas = jnp.asarray(ck["svd"]["zetas"])
+            self.original_cols = ck["svd"]["original_cols"]
+            self.logger.info("resumed thresholds from 'svd' checkpoint")
+        else:
+            zetas, new_nnz = compute_thresholds_jax(
+                A.d_word,
+                A.d_val,
+                V,
+                self.corpus.avg_doc_sz,
+                self.corpus.nz_docs,
+                k,
+                hp,
+            )
+            self.logger.info(f"Entries above threshold: {int(new_nnz)}")
+            self.timer.next("computing thresholds")
+
+        if resume_kmeans:
+            # everything after k-means only needs A + cluster memberships
+            self.centers = ck["kmeans"]["centers"]
+            cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
+            self.cluster_of_doc = cluster_of_doc
+            if resume_svd:
+                self.evalues = ck["svd"]["evalues"]
+            sizes = np.bincount(
+                cluster_of_doc[cluster_of_doc >= 0], minlength=k
+            ).astype(np.int32)
+            self.logger.info("resumed clustering from 'kmeans' checkpoint")
+            self._finish_train(A, cluster_of_doc, sizes, k, D, hp, cfg)
+            return
 
         # 2-3. B construction (+ sampling)
         key, sub = jax.random.split(key)
@@ -191,13 +236,20 @@ class Trainer:
         key, sub = jax.random.split(key)
         blk = hp.block_ks_block_size
         eigensolver = hp.eigensolver
-        if eigensolver != "dense" and 2 * k + 2 >= V:
+        if resume_svd:
+            self.evalues = ck["svd"]["evalues"]
+            U = jnp.asarray(ck["svd"]["U"])
+            self.logger.info("resumed eigenvectors from 'svd' checkpoint")
+            eigensolver = "resumed"
+        if eigensolver not in ("dense", "resumed") and 2 * k + 2 >= V:
             self.logger.warning(
                 f"k={k} too close to vocab={V} for a Krylov solver; "
                 "falling back to the dense eigensolver"
             )
             eigensolver = "dense"
-        if eigensolver == "dense":
+        if eigensolver == "resumed":
+            pass
+        elif eigensolver == "dense":
             from .linalg import dense_topk_eigh
             from .matops import mat_to_dense
 
@@ -232,8 +284,10 @@ class Trainer:
             U = res.evecs
         self._print_eigen_data(self.evalues, k)
         self.timer.next("eigen solve (B B^T)")
-        self._checkpoint("svd", U=np.asarray(U), evalues=self.evalues,
-                         zetas=np.asarray(zetas), original_cols=original_cols)
+        if eigensolver != "resumed":
+            self._checkpoint("svd", U=np.asarray(U), evalues=self.evalues,
+                             zetas=np.asarray(zetas),
+                             original_cols=original_cols)
 
         # 6. projected matrix P = U^T B (k x D_B), materialized (TPU-first;
         # the reference's USE_EXPLICIT_PROJECTED_MATRIX=false recomputes
@@ -287,6 +341,10 @@ class Trainer:
         self._checkpoint("kmeans", centers=self.centers,
                          cluster_of_doc=cluster_of_doc)
 
+        self._finish_train(A, cluster_of_doc, sizes, k, D, hp, cfg)
+
+    def _finish_train(self, A, cluster_of_doc, sizes, k, D, hp, cfg) -> None:
+        """Stages 10-12: catchword statistics, catchwords, topic matrix."""
         # 10. r-th highest element per (word, topic)
         r = hp.catchword_rank(
             D, k, cfg.sample_rate if cfg.sample_docs else None
@@ -320,10 +378,19 @@ class Trainer:
             want_top_pairs=want_pairs,
         )
         self.model = np.asarray(model)
+        extra = {}
         if pairs is not None:
             self.top_pairs = tuple(np.asarray(x) for x in pairs)
+            extra = dict(t1=self.top_pairs[0], t2=self.top_pairs[1],
+                         valid=self.top_pairs[2])
         self.timer.next("constructing topic vectors")
-        self._checkpoint("model", model=self.model)
+        self._checkpoint(
+            "model",
+            model=self.model,
+            is_cw=is_cw_h,
+            catchword_thresholds=self.catchword_thresholds,
+            **extra,
+        )
         self.is_training_complete = True
 
     def train_edge_topics(self) -> None:
@@ -468,6 +535,15 @@ class Trainer:
             + ", ".join(f"{x:.4f}" for x in sv[:5])
             + f" ... lambda_k={sv[-1]:.4f}  sum={sv.sum():.2f}"
         )
+
+    def _load_checkpoints(self) -> dict:
+        out = {}
+        for stage in ("svd", "kmeans", "model"):
+            path = os.path.join(self.run_dir, f"ckpt_{stage}.npz")
+            if os.path.exists(path):
+                out[stage] = dict(np.load(path, allow_pickle=False))
+                self.logger.diag(f"found checkpoint '{stage}' at {path}")
+        return out
 
     def _checkpoint(self, stage: str, **arrays) -> None:
         path = os.path.join(self.run_dir, f"ckpt_{stage}.npz")

@@ -110,3 +110,41 @@ def test_trainer_preprocessed_ingest(corpus_pair):
     t2.load_data_from_file(tdf)
     t2.train()
     np.testing.assert_allclose(t1.model, t2.model, atol=2e-4)
+
+
+def test_checkpoint_resume(corpus_pair):
+    """Resume from each checkpoint stage reproduces the fresh-run model."""
+    tmp, tdf, V, D, k = corpus_pair
+    cfg = TrainConfig(num_topics=k, seed=5, compute_edge_topics=True,
+                      max_edge_topics=4,
+                      hyper=HyperParams(block_ks_block_size=8))
+    t0 = Trainer(cfg, output_dir=str(tmp / "ck"), quiet=True)
+    t0.load_data_from_file(tdf)
+    t0.train()
+    ref_model = t0.model.copy()
+    ref_cl = t0.cluster_of_doc.copy()
+
+    import os
+
+    # resume from 'model': instant restore
+    t1 = Trainer(cfg, output_dir=str(tmp / "ck"), quiet=True)
+    t1.load_data_from_file(tdf)
+    t1.train(resume=True)
+    np.testing.assert_array_equal(t1.model, ref_model)
+    assert t1.is_training_complete and t1.top_pairs is not None
+    t1.train_edge_topics()  # pairs restored -> edge topics work
+
+    # resume from 'kmeans': drop the model ckpt, recompute stages 10-12
+    os.remove(os.path.join(t0.run_dir, "ckpt_model.npz"))
+    t2 = Trainer(cfg, output_dir=str(tmp / "ck"), quiet=True)
+    t2.load_data_from_file(tdf)
+    t2.train(resume=True)
+    np.testing.assert_array_equal(t2.cluster_of_doc, ref_cl)
+    np.testing.assert_allclose(t2.model, ref_model, atol=1e-6)
+
+    # resume from 'svd': drop the kmeans ckpt too
+    os.remove(os.path.join(t0.run_dir, "ckpt_kmeans.npz"))
+    t3 = Trainer(cfg, output_dir=str(tmp / "ck"), quiet=True)
+    t3.load_data_from_file(tdf)
+    t3.train(resume=True)
+    np.testing.assert_allclose(t3.model, ref_model, atol=2e-4)
