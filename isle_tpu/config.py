@@ -101,6 +101,13 @@ class TpuConfig:
     # () means single-device execution.
     mesh_shape: Tuple[int, ...] = ()
     mesh_axis_names: Tuple[str, ...] = ("docs",)
+
+    def mesh_devices(self) -> int:
+        """Total devices requested by mesh_shape (1 = single-device)."""
+        n = 1
+        for s in self.mesh_shape:
+            n *= int(s)
+        return n
     # Pad widths for MXU efficiency.
     lane: int = 128
     sublane: int = 8

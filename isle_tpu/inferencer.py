@@ -59,12 +59,23 @@ class Inferencer:
         cfg = self.config
         batch = build_infer_batch(corpus, self.model_mass)
         self.timer.next("pack inference batch")
+        mesh = None
+        if cfg.tpu.mesh_devices() > 1:
+            # Doc-parallel MWU over the mesh (the multi-chip form of the
+            # reference's parallel-for, drivers/ISLEInfer.cpp:64-117).
+            from .sharding import make_mesh
+
+            mesh = make_mesh(cfg.tpu.mesh_devices())
+            self.logger.info(
+                f"sharded inference on {mesh.devices.size}-device mesh"
+            )
         weights, conv, llh_doc, llh_w = infer_all(
             self.model,
             batch,
             iters=cfg.resolved_iters(),
             Lf=cfg.resolved_Lf(),
             max_guesses=cfg.hyper.infer_max_guesses,
+            mesh=mesh,
         )
         self.timer.next("MWU inference")
         nconv = int(conv.sum())

@@ -337,6 +337,143 @@ def block_ks_device(
     )
 
 
+def lanczos_device(
+    op: Callable[..., jax.Array],
+    dim: int,
+    nev: int,
+    tol: float = 1e-4,
+    max_restarts: int = 100,
+    steps_per_restart: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    timer=None,
+    op_data=None,
+) -> EigResult:
+    """Single-vector thick-restart Lanczos — the second, independent
+    iterative eigensolver (the reference ships Spectra's ARPACK-style
+    `SymEigsSolver` beside BlockKs as a mutual numerical cross-check,
+    src/sparseMatrix.cpp:1161-1192; selected here via
+    HyperParams.eigensolver == "lanczos").
+
+    Deliberately a different algorithm and code path from block_ks: a
+    three-term recurrence stabilized with one full reorthogonalization
+    pass per step (Spectra/TRLan practice), width-1 operator applications,
+    a small dense projected matrix, and Wu-Simon thick restart keeping the
+    top-nev Ritz pairs plus the border residual row. Same convergence rule
+    as block_ks (per-eigenpair |border residual| / lambda < tol, longest
+    converged prefix) so the two solvers are comparable at the same tol.
+
+    The whole restart loop runs in one jitted lax.while_loop (each host
+    sync costs ~30 ms on this tunnel). Width-1 SpMMs waste most of the
+    128-wide lanes, so this is a validation tool, not the production
+    solver — use it to cross-check block_ks spectra at full vocab.
+    """
+    import time
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    s = steps_per_restart or (nev + 8)
+    K = nev + s
+    ncv = K + 1
+    if ncv > dim:
+        raise ValueError(f"ncv={ncv} exceeds dim={dim}; use dense solver")
+    with_data = op_data is not None
+
+    def matvec(data, v):
+        out = op(data, v[:, None]) if with_data else op(v[:, None])
+        return out[:, 0]
+
+    def step(data, V, T, j):
+        v = jax.lax.dynamic_slice_in_dim(V, j, 1, axis=1)[:, 0]
+        w = matvec(data, v)
+        # three-term recurrence + one full-reorth correction pass
+        c1 = jnp.einsum("dm,d->m", V, w, precision=HI)
+        w = w - jnp.einsum("dm,m->d", V, c1, precision=HI)
+        c2 = jnp.einsum("dm,d->m", V, w, precision=HI)
+        w = w - jnp.einsum("dm,m->d", V, c2, precision=HI)
+        coeffs = c1 + c2  # projected column (alpha at j, fill-ins above)
+        b = jnp.linalg.norm(w)
+        vnext = w / jnp.maximum(b, jnp.finfo(jnp.float32).tiny)
+        V = jax.lax.dynamic_update_slice(V, vnext[:, None], (0, j + 1))
+        col = coeffs.at[j + 1].set(b)
+        T = jax.lax.dynamic_update_slice(T, col[:, None], (0, j))
+        return V, T
+
+    def truncate(V, T):
+        Ts = T[:K, :K]
+        Ts = (Ts + Ts.T) * 0.5
+        w, W = jnp.linalg.eigh(Ts)
+        order = jnp.argsort(-w)
+        w = w[order]
+        W = W[:, order]
+        resid = jnp.matmul(T[K:ncv, :K], W, precision=HI)  # (1, K) border
+        norms = jnp.abs(resid[0, :nev]) / jnp.abs(w[:nev])
+        bad = norms >= tol
+        nconv = jnp.where(
+            jnp.any(bad), jnp.argmax(bad), jnp.int32(nev)
+        ).astype(jnp.int32)
+        Vk = jnp.matmul(V[:, :K], W[:, :nev], precision=HI)
+        Vn = jnp.zeros_like(V)
+        Vn = Vn.at[:, :nev].set(Vk)
+        Vn = Vn.at[:, nev].set(V[:, K])  # the residual Lanczos vector
+        Tn = jnp.zeros_like(T)
+        Tn = Tn.at[jnp.arange(nev), jnp.arange(nev)].set(w[:nev])
+        Tn = Tn.at[nev, :nev].set(resid[0, :nev])
+        return Vn, Tn, w[:nev], nconv
+
+    @jax.jit
+    def solve(data, key):
+        v0 = jax.random.normal(key, (dim,), jnp.float32)
+        v0 = v0 / jnp.linalg.norm(v0)
+        V = jnp.zeros((dim, ncv), jnp.float32).at[:, 0].set(v0)
+        T = jnp.zeros((ncv, K), jnp.float32)
+
+        def init_body(j, carry):
+            V, T = carry
+            return step(data, V, T, j)
+
+        V, T = jax.lax.fori_loop(0, K, init_body, (V, T))
+        V, T, w, nconv = truncate(V, T)
+
+        def cond(st):
+            V, T, w, nconv, restarts = st
+            return (nconv < nev) & (restarts < max_restarts)
+
+        def body(st):
+            V, T, w, nconv, restarts = st
+
+            def rexp(j, carry):
+                V, T = carry
+                return step(data, V, T, nev + j)
+
+            V, T = jax.lax.fori_loop(0, s, rexp, (V, T))
+            V, T, w, nconv = truncate(V, T)
+            return V, T, w, nconv, restarts + 1
+
+        V, T, w, nconv, restarts = jax.lax.while_loop(
+            cond, body, (V, T, w, nconv, jnp.int32(0))
+        )
+        return V[:, :nev], w, nconv, restarts
+
+    t0 = time.perf_counter()
+    evecs, w, nconv, restarts = solve(op_data, key)
+    nconv = int(nconv)
+    restarts = int(restarts)
+    seconds = time.perf_counter() - t0
+    if timer is not None:
+        timer.diag(
+            f"lanczos: {restarts} restarts, nconv={nconv}/{nev}, "
+            f"{seconds:.2f}s incl. compile"
+        )
+    return EigResult(
+        evals=np.asarray(w),
+        evecs=evecs,
+        nconv=nconv,
+        restarts=restarts,
+        op_calls=K + s * restarts,
+        op_seconds=seconds,
+    )
+
+
 def dense_topk_eigh(S: np.ndarray, nev: int) -> Tuple[np.ndarray, np.ndarray]:
     """Dense oracle (the reference's LAPACK cross-check pattern,
     src/denseMatrix.cpp:413-461)."""

@@ -154,15 +154,29 @@ def infer_all(
     Lf: float,
     block_size: int = 0,
     max_guesses: int = 10,
+    mesh=None,
 ):
     """Run MWU over every doc. Returns (weights (D, k), converged (D,),
     llh_per_doc (D,), llh_weighted (D,)). Unconverged docs keep uniform
-    weights and zero llh (drivers/ISLEInfer.cpp:95-111 behavior)."""
+    weights and zero llh (drivers/ISLEInfer.cpp:95-111 behavior).
+
+    With `mesh` (a 1-D jax Mesh), each block's doc rows shard across the
+    mesh and the model replicates — the multi-chip form of the reference's
+    parallel-for over 1M-doc blocks (drivers/ISLEInfer.cpp:64-117). The
+    MWU math is purely row-parallel, so GSPMD partitions it with zero
+    collectives; results are identical to the single-device path."""
     V, k = model.shape
     D, L = batch.word_idx.shape
     Mw = jnp.concatenate(
         [jnp.asarray(model, jnp.float32), jnp.zeros((1, k), jnp.float32)]
     )
+    sh_rows = sh_rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh_rows = NamedSharding(mesh, P(mesh.axis_names[0]))
+        sh_rep = NamedSharding(mesh, P())
+        Mw = jax.device_put(Mw, sh_rep)
     weights = np.full((D, k), 1.0 / k, np.float32)
     conv = np.zeros(D, bool)
     s_all = np.zeros(D, np.float32)
@@ -185,6 +199,8 @@ def infer_all(
             # keep the gathered block under ~2 GiB
             bs_cap = max(1, min(len(sel), (1 << 29) // max(edge * k, 1)))
             bs_cap = int(2 ** math.floor(math.log2(bs_cap)))
+        if mesh is not None:
+            bs_cap = max(bs_cap, int(mesh.devices.size))
         for lo in range(0, len(sel), bs_cap):
             idx = sel[lo : lo + bs_cap]
             bs = len(idx)
@@ -197,6 +213,9 @@ def infer_all(
                 av = np.concatenate(
                     [av, np.zeros((bs_cap - bs, edge), np.float32)]
                 )
+            if mesh is not None:
+                wi = jax.device_put(wi, sh_rows)
+                av = jax.device_put(av, sh_rows)
             w, c, s = _mwu_block(
                 Mw, jnp.asarray(wi), jnp.asarray(av), iters, Lf0, max_guesses
             )

@@ -37,6 +37,12 @@ from .sparse import DocSparse
 AXIS = "docs"
 
 
+def _pvary(x, axis: str = AXIS):
+    """Mark a locally-created constant as device-varying inside shard_map
+    (jax.lax.pvary is deprecated in favor of pcast)."""
+    return jax.lax.pcast(x, axis, to="varying")
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -61,10 +67,26 @@ class ShardedDocSparse:
     docs_per_shard: int = dataclasses.field(metadata=dict(static=True))
     num_docs: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # Per-shard count of VALID doc slots (ragged shards, e.g. the
+    # thresholded B whose shards keep different doc counts), as a hashable
+    # tuple (static aux data). None means the even split
+    # min(dps, num_docs - s*dps).
+    valid_docs: Optional[Tuple[int, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_shards(self) -> int:
         return self.d_word.shape[0]
+
+    def valid_per_shard(self) -> np.ndarray:
+        """(S,) valid doc slots per shard."""
+        if self.valid_docs is not None:
+            return np.asarray(self.valid_docs)
+        S, dps = self.num_shards, self.docs_per_shard
+        return np.clip(
+            self.num_docs - np.arange(S) * dps, 0, dps
+        ).astype(np.int64)
 
 
 def shard_doc_sparse(
@@ -242,9 +264,7 @@ def sharded_thresholds(
                 jax.nn.one_hot(ri % 128, 128, dtype=jnp.float32)
             ), None
 
-        init = jax.lax.pvary(
-            jnp.zeros(((wps + 1) * nbanks, 128), jnp.float32), AXIS
-        )
+        init = _pvary(jnp.zeros(((wps + 1) * nbanks, 128), jnp.float32))
         hist, _ = jax.lax.scan(
             body,
             init,
@@ -313,7 +333,7 @@ def sharded_rth_highest(
             g = jax.nn.one_hot(kk % k, k, dtype=jnp.float32) * ic[:, None]
             return acc.at[kk // k].add(g), None
 
-        init = jax.lax.pvary(jnp.zeros((wps + 1, k), jnp.float32), AXIS)
+        init = _pvary(jnp.zeros((wps + 1, k), jnp.float32))
         cm, _ = jax.lax.scan(
             body,
             init,
@@ -469,3 +489,319 @@ def sharded_train_step(ssp: ShardedDocSparse, mesh: Mesh, num_topics: int):
         return Y, assign, new_centers, h
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Full sharded training pipeline primitives (round 2): B construction,
+# doc-row compaction/expansion, full-space Lloyd's, doc-topic mass.
+# Together with sharded_thresholds / sharded_rth_highest / sharded_gram_x
+# above, these let Trainer.train() run every SpMM-heavy stage under
+# shard_map on the mesh while k- and vocab-dimension state stays replicated
+# (the TPU translation of the reference's shared-memory layout,
+# SURVEY.md §5.7-5.8).
+# ---------------------------------------------------------------------------
+
+
+def _doc_flat_index(ssp: ShardedDocSparse) -> np.ndarray:
+    """Flat (shard*dps + local) positions of the valid docs, in global doc
+    order."""
+    dps = ssp.docs_per_shard
+    valid = ssp.valid_per_shard()
+    if len(valid) == 0:
+        return np.zeros((0,), np.int32)
+    return np.concatenate(
+        [s * dps + np.arange(v, dtype=np.int64) for s, v in enumerate(valid)]
+    ).astype(np.int32)
+
+
+def compact_doc_rows(x: jax.Array, ssp: ShardedDocSparse) -> jax.Array:
+    """(S, dps, w) doc-sharded -> (num_valid_docs, w) global doc-major
+    (gathered across shards; the result is small k-width state)."""
+    S, dps = x.shape[0], x.shape[1]
+    idx = jnp.asarray(_doc_flat_index(ssp))
+    return jnp.take(x.reshape(S * dps, *x.shape[2:]), idx, axis=0)
+
+
+def pad_doc_rows(W: jax.Array, ssp: ShardedDocSparse, mesh: Mesh) -> jax.Array:
+    """Inverse of compact_doc_rows: global (num_valid_docs, w) doc-major ->
+    (S, dps, w) doc-sharded layout (invalid slots zero)."""
+    S, dps = ssp.num_shards, ssp.docs_per_shard
+    idx = jnp.asarray(_doc_flat_index(ssp))
+    out = (
+        jnp.zeros((S * dps,) + tuple(W.shape[1:]), W.dtype)
+        .at[idx]
+        .set(jnp.asarray(W))
+    )
+    return jax.device_put(
+        out.reshape((S, dps) + tuple(W.shape[1:])), NamedSharding(mesh, P(AXIS))
+    )
+
+
+def sharded_threshold_and_copy(
+    ssp: ShardedDocSparse,
+    zetas,
+    mesh: Mesh,
+    sample_rate: Optional[float] = None,
+    key: Optional[jax.Array] = None,
+    pad_multiple: int = 1 << 13,
+) -> Tuple[ShardedDocSparse, np.ndarray]:
+    """Doc-sharded B construction (bmatrix.threshold_and_copy semantics:
+    keep entries with round(val) >= zeta[word], set value sqrt(zeta), drop
+    empty docs, renumber LOCALLY per shard). Returns (B, original_cols)
+    with original_cols in global ascending doc order, identical to the
+    single-device path (shards are contiguous doc ranges)."""
+    V, dps = ssp.vocab, ssp.docs_per_shard
+    S, D = ssp.num_shards, ssp.num_docs
+    zetas = jnp.asarray(zetas, jnp.float32)
+
+    sel_p = None
+    if sample_rate is not None:
+        assert key is not None
+        # Importance sampling needs the GLOBAL pivot over per-doc weights
+        # (src/sparseMatrix.cpp:1383-1417): weights reduce locally per
+        # shard, the tiny (D,) dice/pivot computation is replicated.
+        def wt_f(word, doc, val, zetas):
+            w, d, v = word[0], doc[0], val[0]
+            z = jnp.concatenate([zetas, jnp.full((1,), jnp.inf, jnp.float32)])
+            keep = jnp.floor(v + 0.5) >= z[w]
+            zw = jnp.concatenate([zetas, jnp.zeros((1,), jnp.float32)])
+            wt = jax.ops.segment_sum(
+                jnp.where(keep, zw[w], 0.0), d, num_segments=dps + 1
+            )[:dps]
+            return wt[None]
+
+        wt = jax.shard_map(
+            wt_f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),), out_specs=P(AXIS)
+        )(ssp.d_word, ssp.d_doc, ssp.d_val, zetas)
+        w_glob = compact_doc_rows(wt[..., None], ssp)[:, 0]  # (D,)
+        u = jax.random.uniform(key, (D,), dtype=jnp.float32)
+        dice = jnp.where(
+            w_glob > 0.0, jnp.power(u, 1.0 / jnp.maximum(w_glob, 1e-30)), 0.0
+        )
+        pivot = jnp.sort(dice)[::-1][int(sample_rate * D)]
+        sel = dice >= pivot  # (D,) global
+        sel_np = np.asarray(sel)
+        sel_pad = np.zeros((S, dps + 1), bool)
+        flat = _doc_flat_index(ssp)
+        sel_pad.reshape(-1)[
+            (flat // dps) * (dps + 1) + (flat % dps)
+        ] = sel_np
+        sel_p = jax.device_put(sel_pad, NamedSharding(mesh, P(AXIS)))
+
+    no_sel = jax.device_put(
+        np.ones((S, dps + 1), bool), NamedSharding(mesh, P(AXIS))
+    )
+    if sel_p is None:
+        sel_p = no_sel
+
+    # Phase 1: per-shard occupancy + kept-entry counts (host sync fixes
+    # the static compacted size).
+    def occ_f(word, doc, val, sel, zetas):
+        w, d, v = word[0], doc[0], val[0]
+        z = jnp.concatenate([zetas, jnp.full((1,), jnp.inf, jnp.float32)])
+        keep = (jnp.floor(v + 0.5) >= z[w]) & sel[0][d]
+        occ = (
+            jax.ops.segment_sum(
+                keep.astype(jnp.int32), d, num_segments=dps + 1
+            )[:dps]
+            > 0
+        )
+        return occ[None], jnp.sum(keep.astype(jnp.int32))[None]
+
+    occ, kept = jax.shard_map(
+        occ_f,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 4 + (P(),),
+        out_specs=(P(AXIS), P(AXIS)),
+    )(ssp.d_word, ssp.d_doc, ssp.d_val, sel_p, zetas)
+    occ = np.array(occ)  # (S, dps), writable copy
+    kept = np.asarray(kept)  # (S,)
+    valid_A = ssp.valid_per_shard()
+    for s in range(S):
+        occ[s, valid_A[s]:] = False
+    nzd = occ.sum(axis=1).astype(np.int64)  # valid B docs per shard
+    doc_base = np.arange(S, dtype=np.int64)[:, None] * dps
+    original_cols = np.concatenate(
+        [doc_base[s] + np.flatnonzero(occ[s]) for s in range(S)]
+    ).astype(np.int32) if S else np.zeros((0,), np.int32)
+
+    dps_B = int(max(((int(nzd.max(initial=0)) + 7) // 8) * 8, 8))
+    n_pad_B = int(
+        max(pad_multiple, -(-int(kept.max(initial=0)) // pad_multiple) * pad_multiple)
+    )
+
+    # Local renumber map per shard: (S, dps + 1), pad doc id -> dps_B spill.
+    renum = np.full((S, dps + 1), dps_B, np.int32)
+    for s in range(S):
+        renum[s, :dps][occ[s]] = np.arange(nzd[s], dtype=np.int32)
+    renum_d = jax.device_put(renum, NamedSharding(mesh, P(AXIS)))
+
+    # Phase 2: stable compaction in both sort orders.
+    def compact_f(word, doc, val, sel, renum, zetas):
+        w, d, v = word[0], doc[0], val[0]
+        z = jnp.concatenate([zetas, jnp.full((1,), jnp.inf, jnp.float32)])
+        keep = (jnp.floor(v + 0.5) >= z[w]) & sel[0][d]
+        pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, n_pad_B)
+        out_w = (
+            jnp.full((n_pad_B,), V, jnp.int32).at[pos].set(w, mode="drop")
+        )
+        out_d = (
+            jnp.full((n_pad_B,), dps_B, jnp.int32)
+            .at[pos]
+            .set(renum[0][d], mode="drop")
+        )
+        sz = jnp.concatenate([jnp.sqrt(zetas), jnp.zeros((1,), jnp.float32)])
+        out_v = jnp.zeros((n_pad_B,), jnp.float32).at[pos].set(
+            sz[w], mode="drop"
+        )
+        return out_w[None], out_d[None], out_v[None]
+
+    cmp = partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 5 + (P(),),
+        out_specs=(P(AXIS),) * 3,
+    )
+    dw, dd, dv = cmp(compact_f)(
+        ssp.d_word, ssp.d_doc, ssp.d_val, sel_p, renum_d, zetas
+    )
+    ww, wd, wv = cmp(compact_f)(
+        ssp.w_word, ssp.w_doc, ssp.w_val, sel_p, renum_d, zetas
+    )
+
+    prefix = np.concatenate([[0], np.cumsum(nzd)[:-1]]).astype(np.int32)
+    B = ShardedDocSparse(
+        d_word=dw,
+        d_doc=dd,
+        d_val=dv,
+        w_word=ww,
+        w_doc=wd,
+        w_val=wv,
+        doc_offset=jax.device_put(
+            prefix[:, None], NamedSharding(mesh, P(AXIS))
+        ),
+        vocab=V,
+        docs_per_shard=dps_B,
+        num_docs=int(nzd.sum()),
+        nnz=int(kept.sum()),
+        valid_docs=tuple(int(x) for x in nzd),
+    )
+    return B, original_cols
+
+
+def sharded_doc_l2sq(ssp: ShardedDocSparse, mesh: Mesh) -> jax.Array:
+    """Per-doc squared l2 norms, doc-sharded (S, dps)."""
+    dps = ssp.docs_per_shard
+
+    def f(doc, val):
+        out = jax.ops.segment_sum(
+            val[0] * val[0], doc[0], num_segments=dps + 1
+        )[:dps]
+        return out[None]
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)
+    )(ssp.d_doc, ssp.d_val)
+
+
+def make_sharded_lloyds_step(ssp: ShardedDocSparse, mesh: Mesh, k: int):
+    """One fused full-space Lloyd's iteration on the mesh: local distance +
+    argmin per doc shard, psum'd center/count update (the collective form
+    of src/sparseMatrix.cpp:1586-1677). Returns a jitted step
+    (ssp, centers, docs_l2, nzd) -> (assign (S, dps) with -1 padding,
+    new centers (k, vocab) replicated)."""
+    vocab, dps = ssp.vocab, ssp.docs_per_shard
+
+    def step(ssp, centers, docs_l2, nzd):
+        def f(dw, dd, dv, ww, wd, wv, dl2, nzd_s, centers):
+            dots = _local_bt_x(dw, dd, dv, centers.T, dps)[0]  # (dps, k)
+            c_l2 = jnp.sum(centers * centers, axis=1)
+            dist = dl2[0][:, None] + c_l2[None, :] - 2.0 * dots
+            assign = jnp.argmin(dist, axis=1).astype(jnp.int32)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (dps, 1), 0)[:, 0]
+                < nzd_s[0, 0]
+            )
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            onehot = onehot * valid[:, None].astype(jnp.float32)
+            sums = jax.lax.psum(
+                _local_b_y_partial(ww, wd, wv, onehot, vocab), AXIS
+            )
+            counts = jax.lax.psum(jnp.sum(onehot, axis=0), AXIS)
+            new_centers = jnp.where(
+                counts[None, :] > 0, sums / counts[None, :], 0.0
+            ).T
+            assign = jnp.where(valid, assign, -1)
+            return assign[None], new_centers
+
+        return jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 8 + (P(),),
+            out_specs=(P(AXIS), P()),
+        )(
+            ssp.d_word, ssp.d_doc, ssp.d_val,
+            ssp.w_word, ssp.w_doc, ssp.w_val,
+            docs_l2, nzd, centers,
+        )
+
+    return jax.jit(step)
+
+
+def sharded_run_lloyds_full(
+    ssp: ShardedDocSparse,
+    centers: jax.Array,
+    max_reps: int,
+    mesh: Mesh,
+    timer=None,
+) -> Tuple[jax.Array, np.ndarray]:
+    """Full-space Lloyd's on the mesh to membership convergence. Returns
+    (centers (k, vocab) replicated, assign: GLOBAL (num_docs,) host array
+    in B-doc order)."""
+    k = centers.shape[0]
+    docs_l2 = sharded_doc_l2sq(ssp, mesh)
+    nzd = jax.device_put(
+        np.asarray(ssp.valid_per_shard(), np.int32)[:, None],
+        NamedSharding(mesh, P(AXIS)),
+    )
+    step = make_sharded_lloyds_step(ssp, mesh, k)
+    prev = None
+    assign = None
+    for rep in range(max_reps):
+        assign, centers = step(ssp, centers, docs_l2, nzd)
+        a = np.asarray(assign)
+        if prev is not None and np.array_equal(a, prev):
+            if timer is not None:
+                timer.diag(f"sharded full lloyds converged at rep {rep}")
+            break
+        prev = a
+    flat = _doc_flat_index(ssp)
+    return centers, np.asarray(assign).reshape(-1)[flat]
+
+
+def sharded_doc_topic_mass(
+    ssp: ShardedDocSparse, cw_topic: jax.Array, num_topics: int, mesh: Mesh
+) -> jax.Array:
+    """Per-doc catchword-topic mass, doc-sharded (S, dps, k) (the sharded
+    form of topic_model.doc_topic_mass)."""
+    dps, k = ssp.docs_per_shard, num_topics
+
+    def f(dw, dd, dv, cwt):
+        t = jnp.concatenate([cwt, jnp.full((1,), -1, jnp.int32)])[dw[0]]
+        is_cw = t >= 0
+        ddd = jnp.where(is_cw, dd[0], dps)
+        tt = jnp.maximum(t, 0)
+        acc = jnp.zeros((dps + 1, k), jnp.float32).at[ddd, tt].add(
+            jnp.where(is_cw, dv[0], 0.0)
+        )
+        return acc[None, :dps]
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),), out_specs=P(AXIS)
+    )(ssp.d_word, ssp.d_doc, ssp.d_val, cw_topic)
+
+
+def sharded_spmm_flops(ssp: ShardedDocSparse, width: int) -> int:
+    """FLOPs of one sharded bt_x or b_y (2*nnz*width; matches
+    sparse.spmm_flops for the op counter)."""
+    return 2 * ssp.nnz * width

@@ -18,7 +18,7 @@ directory (the reference restarts only from final artifacts; SURVEY.md
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +142,8 @@ class Trainer:
         SURVEY.md §5.4)."""
         assert self.corpus is not None, "load data first"
         cfg = self.config
+        if cfg.tpu.mesh_devices() > 1:
+            return self._train_sharded(resume=resume)
         hp = cfg.hyper
         k = cfg.num_topics
         V = self.corpus.vocab_size
@@ -258,26 +260,35 @@ class Trainer:
             self.evalues = w_np.astype(np.float32)
             U = jnp.asarray(U_np, jnp.float32)
         else:
-            from .linalg import block_ks_device
+            from .linalg import block_ks_device, lanczos_device
 
-            solver = block_ks_device if cfg.tpu.device_loop_solver else block_ks
+            if eigensolver == "lanczos":
+                solver = lanczos_device
+                op_width = 1
+            else:
+                solver = (
+                    block_ks_device if cfg.tpu.device_loop_solver else block_ks
+                )
+                op_width = blk
             res = solver(
                 lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
                 V,
                 k,
                 op_data=B,
-                blk=blk,
                 tol=hp.block_ks_tolerance,
                 max_restarts=hp.block_ks_max_iters,
                 key=sub,
                 timer=self.timer,
+                **({} if eigensolver == "lanczos" else dict(blk=blk)),
             )
             if res.nconv < k:
                 self.logger.warning(
-                    f"block_ks converged only {res.nconv}/{k} eigenpairs"
+                    f"{eigensolver} converged only {res.nconv}/{k} eigenpairs"
                 )
             self.op_counter.add(
-                res.op_seconds, mat_spmm_flops(B, blk) * res.op_calls, res.op_calls
+                res.op_seconds,
+                mat_spmm_flops(B, op_width) * res.op_calls,
+                res.op_calls,
             )
             self.logger.info(self.op_counter.summary())
             self.evalues = res.evals
@@ -393,6 +404,292 @@ class Trainer:
         )
         self.is_training_complete = True
 
+    # ------------------------------------------------------------------
+    # Mesh-orchestrated training (multi-chip; TpuConfig.mesh_shape)
+    # ------------------------------------------------------------------
+
+    def _train_sharded(self, resume: bool = False) -> None:
+        """The same pipeline with every SpMM-heavy stage sharded over a
+        1-D device mesh on the document axis (word axis for the ζ/r-th
+        stages), per SURVEY.md §5.7-5.8:
+
+          - ζ thresholds + r-th-highest stats: word-sharded, zero comm
+            (the mesh form of the reference's word-major CSR chunking,
+            src/trainer.cpp:437-469, 592-635);
+          - B construction: per-shard compaction with local doc renumber;
+          - eigensolver operator B(BᵀX): psum'd over ICI
+            (include/matUtils.h:336-365 on the mesh);
+          - full-space Lloyd's: local assignment, psum'd center update
+            (src/sparseMatrix.cpp:1631-1646 on the mesh);
+          - topic model: doc-sharded mass + psum'd model SpMM.
+
+        k- and vocab-dimension state (U, centers, Model, the projected
+        matrix P) is replicated — tiny next to the nnz payload. Results
+        match the single-device path to float tolerance; see
+        tests/test_sharded_trainer.py."""
+        from .sharding import (
+            compact_doc_rows,
+            make_mesh,
+            pad_doc_rows,
+            shard_by_word,
+            shard_doc_sparse,
+            sharded_b_y,
+            sharded_bt_x,
+            sharded_gram_x,
+            sharded_run_lloyds_full,
+            sharded_spmm_flops,
+            sharded_threshold_and_copy,
+            sharded_thresholds,
+        )
+
+        cfg = self.config
+        hp = cfg.hyper
+        k = cfg.num_topics
+        V = self.corpus.vocab_size
+        D = self.corpus.num_docs
+        n_dev = cfg.tpu.mesh_devices()
+        if len(jax.devices()) < n_dev:
+            raise RuntimeError(
+                f"mesh_shape={cfg.tpu.mesh_shape} needs {n_dev} devices, "
+                f"have {len(jax.devices())}"
+            )
+        mesh = make_mesh(n_dev)
+        key = jax.random.PRNGKey(cfg.seed)
+        self.logger.info(f"sharded training on {n_dev}-device mesh")
+
+        ck = self._load_checkpoints() if resume else {}
+        if "model" in ck:
+            m = ck["model"]
+            self.model = m["model"]
+            if "is_cw" in m:
+                is_cw = m["is_cw"]
+                self.catchwords = [np.flatnonzero(is_cw[t]) for t in range(k)]
+                self.catchword_thresholds = m.get("catchword_thresholds")
+            if "t1" in m:
+                self.top_pairs = (m["t1"], m["t2"], m["valid"])
+            if "kmeans" in ck:
+                self.centers = ck["kmeans"]["centers"]
+                self.cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
+            if "svd" in ck:
+                self.evalues = ck["svd"]["evalues"]
+                self.original_cols = ck["svd"]["original_cols"]
+            self.logger.info("resumed from 'model' checkpoint")
+            self.is_training_complete = True
+            return
+        resume_kmeans = "kmeans" in ck
+        resume_svd = "svd" in ck
+
+        doc_ids = self.corpus.doc_ids()
+        ssp_A = shard_doc_sparse(
+            self.corpus.rows, doc_ids, self.corpus.vals, V, D, mesh
+        )
+        ws_A = shard_by_word(
+            self.corpus.rows, doc_ids, self.corpus.vals, V, D, mesh
+        )
+        self.timer.next("upload A to device (sharded)")
+
+        # 1. thresholds (word-sharded)
+        if resume_svd:
+            zetas = ck["svd"]["zetas"]
+            self.original_cols = ck["svd"]["original_cols"]
+            self.logger.info("resumed thresholds from 'svd' checkpoint")
+        else:
+            zetas, new_nnz = sharded_thresholds(
+                ws_A, self.corpus.avg_doc_sz, self.corpus.nz_docs, k, hp, mesh
+            )
+            self.logger.info(f"Entries above threshold: {int(new_nnz)}")
+            self.timer.next("computing thresholds")
+
+        if resume_kmeans:
+            self.centers = ck["kmeans"]["centers"]
+            cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
+            self.cluster_of_doc = cluster_of_doc
+            if resume_svd:
+                self.evalues = ck["svd"]["evalues"]
+            sizes = np.bincount(
+                cluster_of_doc[cluster_of_doc >= 0], minlength=k
+            ).astype(np.int32)
+            self.logger.info("resumed clustering from 'kmeans' checkpoint")
+            self._finish_train_sharded(
+                ssp_A, ws_A, cluster_of_doc, sizes, k, D, hp, cfg, mesh
+            )
+            return
+
+        # 2-3. B construction (+ sampling), doc-sharded
+        key, sub = jax.random.split(key)
+        B, original_cols = sharded_threshold_and_copy(
+            ssp_A,
+            zetas,
+            mesh,
+            sample_rate=cfg.sample_rate if cfg.sample_docs else None,
+            key=sub,
+        )
+        self.original_cols = original_cols
+        self.logger.info(
+            f"Columns remaining after thresholding: {B.num_docs}  "
+            f"nnz(B): {B.nnz}  per-shard docs: {B.valid_docs}"
+        )
+        self.timer.next("creating thresholded and scaled matrix (sharded)")
+
+        # 4-5. truncated SVD of B B^T: psum'd Gram operator on the mesh
+        key, sub = jax.random.split(key)
+        blk = hp.block_ks_block_size
+        eigensolver = hp.eigensolver
+        if resume_svd:
+            self.evalues = ck["svd"]["evalues"]
+            U = jnp.asarray(ck["svd"]["U"])
+            self.logger.info("resumed eigenvectors from 'svd' checkpoint")
+        else:
+            from .linalg import block_ks, block_ks_device, lanczos_device
+
+            if eigensolver == "lanczos":
+                solver = lanczos_device
+                op_width = 1
+            else:
+                solver = (
+                    block_ks_device if cfg.tpu.device_loop_solver else block_ks
+                )
+                op_width = blk
+            res = solver(
+                lambda B_, X: sharded_gram_x(B_, X, mesh),
+                V,
+                k,
+                op_data=B,
+                tol=hp.block_ks_tolerance,
+                max_restarts=hp.block_ks_max_iters,
+                key=sub,
+                timer=self.timer,
+                **({} if eigensolver == "lanczos" else dict(blk=blk)),
+            )
+            if res.nconv < k:
+                self.logger.warning(
+                    f"{eigensolver} converged only {res.nconv}/{k} eigenpairs"
+                )
+            self.op_counter.add(
+                res.op_seconds,
+                sharded_spmm_flops(B, op_width) * res.op_calls,
+                res.op_calls,
+            )
+            self.logger.info(self.op_counter.summary())
+            self.evalues = res.evals
+            U = res.evecs
+            self._checkpoint(
+                "svd", U=np.asarray(U), evalues=self.evalues,
+                zetas=np.asarray(zetas), original_cols=original_cols,
+            )
+        self._print_eigen_data(self.evalues, k)
+        self.timer.next("eigen solve (B B^T, sharded)")
+
+        # 6. projected docs P = U^T B (replicated k x nzB — tiny)
+        P = compact_doc_rows(sharded_bt_x(B, U, mesh), B).T
+        self.timer.next("project docs")
+
+        # 7. seeding + projected Lloyd's (replicated dense MXU work)
+        key, sub = jax.random.split(key)
+        if not hp.enable_kmeans_on_lowd:
+            assert hp.kmeans_init_method in ("kmeanspp", "kmeansmcmc")
+        seeds, centers_lowd, init_residual = kmeans_init_on_projected(
+            P, k, hp.kmeans_init_reps, sub,
+            method=hp.kmeans_init_method, timer=self.timer,
+        )
+        self.logger.info(f"Best k-means init residual: {init_residual:.4f}")
+        self.timer.next("k-means seeds initialization")
+
+        if hp.enable_kmeans_on_lowd:
+            centers_lowd, _ = run_lloyds_projected(
+                P, centers_lowd, hp.max_kmeans_lowd_reps, timer=self.timer
+            )
+            centers_full = jnp.matmul(centers_lowd, U.T, precision=HI)
+            self.timer.next("converging Lloyds k-means on B_k")
+        else:
+            Wseed = jax.nn.one_hot(seeds, B.num_docs, dtype=jnp.float32).T
+            centers_full = sharded_b_y(
+                B, pad_doc_rows(Wseed, B, mesh), mesh
+            ).T
+
+        # 8. Lloyd's on B in the full vocab space (sharded)
+        centers_full, assign_h = sharded_run_lloyds_full(
+            B, centers_full, hp.max_kmeans_reps, mesh, timer=self.timer
+        )
+        self.centers = np.asarray(centers_full)
+        self.timer.next("k-means on B (sharded)")
+
+        # 9. remap cluster membership to original doc ids
+        cluster_of_doc = np.full(D, -1, np.int32)
+        cluster_of_doc[original_cols] = assign_h
+        self.cluster_of_doc = cluster_of_doc
+        sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
+        self._checkpoint("kmeans", centers=self.centers,
+                         cluster_of_doc=cluster_of_doc)
+
+        self._finish_train_sharded(
+            ssp_A, ws_A, cluster_of_doc, sizes, k, D, hp, cfg, mesh
+        )
+
+    def _finish_train_sharded(
+        self, ssp_A, ws_A, cluster_of_doc, sizes, k, D, hp, cfg, mesh
+    ) -> None:
+        """Stages 10-12 on the mesh: word-sharded catchword stats,
+        doc-sharded topic mass, psum'd model SpMM."""
+        from .sharding import (
+            compact_doc_rows,
+            pad_doc_rows,
+            sharded_b_y,
+            sharded_doc_topic_mass,
+            sharded_rth_highest,
+        )
+        from .topic_model import (
+            _contribution_weights,
+            model_thresholds,
+            top_two_topics,
+        )
+
+        r = hp.catchword_rank(
+            D, k, cfg.sample_rate if cfg.sample_docs else None
+        )
+        if r < 1:
+            self.logger.warning(
+                f"catchword rank r={r} < 1 (tiny corpus); clamping to 1"
+            )
+            r = 1
+        thr = sharded_rth_highest(ws_A, cluster_of_doc, sizes, k, r, mesh)
+        self.catchword_thresholds = np.asarray(thr)
+        self.timer.next("collecting word freqs in clusters (sharded)")
+
+        is_cw = find_catchwords(jnp.asarray(thr), hp.rho)
+        is_cw_h = np.asarray(is_cw)
+        cwt = catchword_topic_map(is_cw_h)
+        self.catchwords = [np.flatnonzero(is_cw_h[t]) for t in range(k)]
+        self.timer.next("finding catchwords for clusters")
+
+        has_cw = jnp.asarray(is_cw_h.any(axis=1))
+        mass = compact_doc_rows(
+            sharded_doc_topic_mass(ssp_A, jnp.asarray(cwt), k, mesh), ssp_A
+        )
+        thr_m = model_thresholds(mass, has_cw, hp.model_rank_threshold(D, k))
+        extra = {}
+        if cfg.compute_edge_topics:
+            t1, t2, valid = top_two_topics(mass)
+            self.top_pairs = tuple(
+                np.asarray(x) for x in (t1, t2, valid)
+            )
+            extra = dict(t1=self.top_pairs[0], t2=self.top_pairs[1],
+                         valid=self.top_pairs[2])
+        W = _contribution_weights(mass, thr_m, jnp.asarray(cluster_of_doc))
+        model = sharded_b_y(ssp_A, pad_doc_rows(W, ssp_A, mesh), mesh)
+        sums = jnp.sum(model, axis=0)
+        model = jnp.where(sums[None, :] != 0.0, model / sums[None, :], model)
+        self.model = np.asarray(model)
+        self.timer.next("constructing topic vectors (sharded)")
+        self._checkpoint(
+            "model",
+            model=self.model,
+            is_cw=is_cw_h,
+            catchword_thresholds=self.catchword_thresholds,
+            **extra,
+        )
+        self.is_training_complete = True
+
     def train_edge_topics(self) -> None:
         """Edge (compound) topics (src/trainer.cpp:673-685)."""
         assert self.is_training_complete, "train basic topics first"
@@ -441,11 +738,119 @@ class Trainer:
         )
         self.timer.next("output edge model")
 
-    def output_cluster_summary(self) -> None:
-        """Catchwords, top words, cluster details, coherence
-        (src/trainer.cpp:776-829)."""
+    def output_doc_topic(self) -> None:
+        """DocCatchword.tsv + DocTopicCatchwordSums.tsv
+        (src/trainer.cpp:874-1010 `output_doc_topic`):
+
+          - DocCatchword.tsv: one `<doc>\\t<word>\\t<normalized_val>` line
+            per corpus entry whose word is a catchword of any topic,
+            doc-major (1-based ids, ftoa 6-decimal float format).
+          - DocTopicCatchwordSums.tsv: `<doc>\\t<topic>\\t<sum>` for every
+            positive per-doc catchword-topic mass, ordered by (topic asc,
+            sum desc) — the sort construct_topic_model applies before the
+            writer runs (src/sparseMatrix.cpp:715-720).
+        """
+        assert self.is_training_complete
+        k = self.config.num_topics
+        V = self.corpus.vocab_size
+        D = self.corpus.num_docs
+        cwt = np.full(V, -1, np.int32)
+        for t in range(k):
+            cwt[self.catchwords[t]] = t
+        self.logger.info(
+            f"Total number of catchwords: {int((cwt >= 0).sum())}"
+        )
+        rows = self.corpus.rows
+        vals = self.corpus.vals
+        doc_ids = self.corpus.doc_ids()
+        mask = cwt[rows] >= 0
+        with open(os.path.join(self.run_dir, "DocCatchword.tsv"), "w") as f:
+            for d, w, v in zip(doc_ids[mask], rows[mask], vals[mask]):
+                f.write(f"{d + 1}\t{w + 1}\t{v:.6f}\n")
+        mass = np.zeros((D, k), np.float32)
+        np.add.at(mass, (doc_ids[mask], cwt[rows[mask]]), vals[mask])
+        dd, tt = np.nonzero(mass)
+        vv = mass[dd, tt]
+        order = np.lexsort((-vv, tt))
+        path = os.path.join(self.run_dir, "DocTopicCatchwordSums.tsv")
+        with open(path, "w") as f:
+            for d, t, v in zip(dd[order], tt[order], vv[order]):
+                f.write(f"{d + 1}\t{t + 1}\t{v:.6f}\n")
+        self.timer.next("writing document catchword weights")
+
+    def print_top_two_topics(self) -> None:
+        """TopTwoTopicsPerDoc.txt: `<doc>\\t<top1>\\t<top2>` (1-based),
+        doc-ascending (src/trainer.cpp:1008-1040 mmap branch; the host
+        sort by doc id is a no-op here because top_pairs is doc-indexed)."""
+        assert self.top_pairs is not None, "train with compute_edge_topics"
+        t1, t2, valid = self.top_pairs
+        path = os.path.join(self.run_dir, "TopTwoTopicsPerDoc.txt")
+        with open(path, "w") as f:
+            for d in np.flatnonzero(valid):
+                f.write(f"{d + 1}\t{t1[d] + 1}\t{t2[d] + 1}\n")
+        self.timer.next("printing top 2 topics/doc")
+
+    def output_topic_diversity(self) -> float:
+        """Average squared distance of topic vectors to the mean topic
+        vector (src/trainer.cpp:750-771). The reference's cross-term
+        indexes topic 1's column for every t (`Model->data() +
+        Model->vocab_size()` misses the `* t`, :766-767) — an obvious
+        indexing slip in a log-only diagnostic; we compute the intended
+        quantity."""
+        assert self.is_training_complete
+        from .diagnostics import topic_diversity
+
+        div = topic_diversity(self.model)
+        self.logger.info(f"Average topic diversity: {div:.6f}")
+        self.timer.next("calculating diversity")
+        return div
+
+    def output_avg_topic_coherence(self) -> Tuple[float, np.ndarray]:
+        """Coherence of the catchword-free cluster-average model
+        (src/trainer.cpp:705-748): construct_topic_model with empty
+        catchword lists (every topic takes its cluster average), coherence
+        over its top words, M_hat_avg dense dump + TopWordsPerTopic_avg.txt.
+        Returns (avg coherence, per-topic coherences)."""
         assert self.is_training_complete
         from .diagnostics import topic_coherence
+
+        cfg = self.config
+        k = cfg.num_topics
+        A = DocSparse.from_corpus(self.corpus, chunk=cfg.tpu.spmm_chunk)
+        cwt = jnp.full((self.corpus.vocab_size,), -1, jnp.int32)
+        avg_model, _ = construct_topic_model(
+            A,
+            cwt,
+            jnp.asarray(self.cluster_of_doc),
+            k,
+            cfg.hyper.model_rank_threshold(self.corpus.num_docs, k),
+        )
+        avg_model = np.asarray(avg_model)
+        nl_coherences = topic_coherence(
+            self.corpus, avg_model, cfg.hyper.coherence_num_words,
+            cfg.hyper.coherence_eps,
+        )
+        avg = float(np.mean(nl_coherences))
+        self.logger.info(f"Avg coherence without catchwords: {avg:.6f}")
+        self.timer.next("computing coherence without catchwords")
+        io_text.write_dense_model(
+            os.path.join(self.run_dir, "M_hat_avg"), avg_model
+        )
+        self.timer.next("writing Mhat to file")
+        io_text.write_top_words(
+            os.path.join(self.run_dir, "TopWordsPerTopic_avg.txt"),
+            avg_model,
+            self.vocab_words,
+            max(cfg.hyper.coherence_num_words, 10),
+        )
+        self.timer.next("writing top words to file")
+        return avg, nl_coherences
+
+    def output_cluster_summary(self) -> None:
+        """Catchwords, top words, cluster details, coherence, topic
+        diversity (src/trainer.cpp:776-829, 750-771)."""
+        assert self.is_training_complete
+        from .diagnostics import topic_coherence, topic_diversity
 
         k = self.config.num_topics
         nw = self.config.hyper.coherence_num_words
@@ -465,6 +870,9 @@ class Trainer:
                 f"     top words: {words}"
             )
         self.logger.info(f"Avg coherence: {float(np.mean(coh)):.4f}")
+        self.logger.info(
+            f"Average topic diversity: {topic_diversity(self.model):.6f}"
+        )
         self.timer.next("output summary")
 
     def compute_input_svd(self) -> np.ndarray:

@@ -222,3 +222,66 @@ def mwu_literal(
             return w, False
         Lf *= 2.0
     return w, False
+
+
+def elkans_literal(dense, centers, max_reps):
+    """Sequential doc-level Elkan's k-means on a dense (V, D) matrix:
+    per-iteration assignment sequence oracle for isle_tpu.elkans.run_elkans
+    (same bound maintenance and doc-level filter ub > s[a] AND
+    ub > min_{c != a} lb; reference src/sparseMatrix.cpp:2242-2492 gathers
+    the same flagged docs into a mini-CSC). Returns the list of assignment
+    arrays, one per iteration (including the initial one)."""
+    import numpy as np
+
+    V, D = dense.shape
+    k = centers.shape[0]
+
+    def exact(centers):
+        d2 = (
+            (dense * dense).sum(axis=0)[:, None]
+            + (centers * centers).sum(axis=1)[None, :]
+            - 2.0 * dense.T @ centers.T
+        )
+        return np.sqrt(np.maximum(d2, 0.0))
+
+    dist = exact(centers)
+    assign = np.argmin(dist, axis=1)
+    ub = dist[np.arange(D), assign]
+    lb = dist.copy()
+    seq = [assign.copy()]
+    prev = None
+    for rep in range(max_reps):
+        sums = np.zeros((k, V))
+        counts = np.zeros(k)
+        for d in range(D):
+            sums[assign[d]] += dense[:, d]
+            counts[assign[d]] += 1
+        new_centers = np.where(
+            counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), 0.0
+        )
+        move = np.linalg.norm(new_centers - centers, axis=1)
+        centers = new_centers
+        cc = np.sqrt(
+            np.maximum(
+                (centers * centers).sum(1)[:, None]
+                + (centers * centers).sum(1)[None, :]
+                - 2.0 * centers @ centers.T,
+                0.0,
+            )
+        )
+        np.fill_diagonal(cc, np.inf)
+        s = 0.5 * cc.min(axis=1)
+        ub = ub + move[assign]
+        lb = np.maximum(lb - move[None, :], 0.0)
+        for d in range(D):
+            others = np.delete(lb[d], assign[d])
+            if ub[d] > s[assign[d]] and ub[d] > others.min():
+                row = exact(centers)[d]
+                assign[d] = np.argmin(row)
+                ub[d] = row[assign[d]]
+                lb[d] = row
+        seq.append(assign.copy())
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign.copy()
+    return seq

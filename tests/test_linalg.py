@@ -104,3 +104,98 @@ def test_device_loop_matches_host_loop():
     np.testing.assert_allclose(r2.evals, r1.evals, rtol=1e-4)
     w_ref, _ = dense_topk_eigh(S, nev)
     np.testing.assert_allclose(r2.evals, w_ref, rtol=1e-4)
+
+
+def test_lanczos_matches_dense_oracle():
+    """The second iterative solver (thick-restart Lanczos, the Spectra
+    analog src/sparseMatrix.cpp:1161-1192) vs the LAPACK oracle."""
+    from isle_tpu.linalg import lanczos_device
+
+    rng = np.random.default_rng(2)
+    dim = 120
+    A = rng.standard_normal((dim, dim // 2)).astype(np.float32)
+    S = (A @ A.T).astype(np.float32)
+    nev = 6
+    res = lanczos_device(
+        spd_op(S), dim, nev, tol=1e-5, key=jax.random.PRNGKey(1)
+    )
+    w_ref, v_ref = dense_topk_eigh(S, nev)
+    assert res.nconv == nev
+    np.testing.assert_allclose(res.evals, w_ref, rtol=1e-4)
+    U = align_signs(np.asarray(res.evecs), v_ref.astype(np.float32))
+    gaps = np.abs(np.diff(w_ref))
+    ok = np.ones(nev, bool)
+    ok[1:] &= gaps > 1e-3 * w_ref[0]
+    ok[:-1] &= gaps > 1e-3 * w_ref[0]
+    np.testing.assert_allclose(U[:, ok], v_ref[:, ok], atol=5e-3)
+
+
+def test_lanczos_cross_checks_block_ks_on_gram():
+    """Mutual cross-check on the pipeline's B B^T operator: the two
+    independent solvers must agree to the configured tolerance (the
+    reference's BlockKs-vs-Spectra discipline)."""
+    from isle_tpu.linalg import block_ks_device, lanczos_device
+
+    rng = np.random.default_rng(8)
+    V, D = 150, 500
+    mask = rng.random((V, D)) < 0.08
+    w, d = np.nonzero(mask)
+    order = np.lexsort((w, d))
+    v = (rng.integers(1, 4, len(w))).astype(np.float32)
+    sp = DocSparse.build(w[order], d[order], v[order], V, D, chunk=2048)
+    nev = 8
+    op = lambda data, X: gram_x(data, X)
+    a = block_ks_device(
+        op, V, nev, op_data=sp, blk=8, tol=1e-5, key=jax.random.PRNGKey(0)
+    )
+    b = lanczos_device(
+        op, V, nev, op_data=sp, tol=1e-5, key=jax.random.PRNGKey(3)
+    )
+    np.testing.assert_allclose(a.evals, b.evals, rtol=1e-4)
+
+
+def test_trainer_lanczos_eigensolver_option():
+    """eigensolver="lanczos" is selectable end-to-end and reproduces the
+    block_ks model."""
+    import dataclasses
+
+    from isle_tpu.config import HyperParams, TrainConfig
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.trainer import Trainer
+    import tempfile
+
+    rng = np.random.default_rng(6)
+    V, D, k = 80, 240, 4
+    block = V // k
+    docs, words, counts = [], [], []
+    for d in range(D):
+        t = rng.integers(0, k)
+        ws = np.concatenate(
+            [rng.integers(t * block, (t + 1) * block, 16),
+             rng.integers(0, V, 3)]
+        )
+        ws, cs = np.unique(ws, return_counts=True)
+        docs.append(np.full(len(ws), d))
+        words.append(ws)
+        counts.append(cs)
+    corpus = Corpus.from_entries(
+        np.concatenate(docs), np.concatenate(words), np.concatenate(counts),
+        vocab_size=V, num_docs=D, sort_dedup=True,
+    )
+
+    def run(eig):
+        cfg = TrainConfig(
+            num_topics=k, seed=0,
+            hyper=HyperParams(block_ks_block_size=8, eigensolver=eig),
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            tr = Trainer(cfg, output_dir=tmp, quiet=True)
+            tr.corpus = corpus
+            tr._post_ingest()
+            tr.train()
+        return tr
+
+    a = run("block_ks")
+    b = run("lanczos")
+    np.testing.assert_allclose(a.evalues, b.evalues, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(a.model, b.model, rtol=1e-3, atol=1e-5)

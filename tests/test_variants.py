@@ -100,3 +100,70 @@ def test_capi_roundtrip(tmp_path):
     assert capi.GetNumEdgeTopics(h) == 0
     assert len(logs) > 0
     capi.DestroyTrainer(h)
+
+
+def test_elkans_assignment_sequence_matches_oracle():
+    """Per-iteration assignment sequence vs the sequential doc-level Elkan
+    oracle (literal_oracle.elkans_literal): validates that the vectorized
+    flag/compact/mini-SpMM machinery recomputes exactly the docs the
+    sequential algorithm would."""
+    from literal_oracle import elkans_literal
+
+    rng = np.random.default_rng(4)
+    V, D, kc = 24, 60, 3
+    dense = np.zeros((V, D), np.float32)
+    for d in range(D):
+        blk = d % kc
+        ws = rng.choice(np.arange(blk * 8, blk * 8 + 8), 4, replace=False)
+        dense[ws, d] = rng.integers(1, 4, 4)
+    w, d_idx = np.nonzero(dense)
+    order = np.lexsort((w, d_idx))
+    w, d_idx = w[order], d_idx[order]
+    sp = DocSparse.build(
+        w, d_idx, dense[w, d_idx].astype(np.float32), V, D, chunk=256
+    )
+    centers0 = np.asarray(to_dense(sp)[:, :kc].T, np.float64)
+
+    seqs = []
+
+    class SeqTimer:
+        def diag(self, msg):
+            pass
+
+    # capture the device sequence by instrumenting the loop: rerun with
+    # increasing max_reps and record the final assignment each time.
+    oracle = elkans_literal(np.asarray(dense, np.float64), centers0, 10)
+    for reps in range(1, len(oracle)):
+        _, a = run_elkans(sp, jnp.asarray(centers0, jnp.float32), reps,
+                          timer=SeqTimer())
+        seqs.append(np.asarray(a))
+    for got, want in zip(seqs, oracle[1:]):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_elkans_on_hybrid_layout():
+    """Elkan's mini-SpMM path must handle the dense-head/sparse-tail
+    layout (the trainer passes hybrid B)."""
+    from isle_tpu.hybrid import to_hybrid
+
+    rng = np.random.default_rng(5)
+    V, D, kc = 40, 120, 4
+    w_list, d_list, v_list = [], [], []
+    for d in range(D):
+        blk = d % kc
+        ws = np.sort(rng.choice(np.arange(blk * 10, blk * 10 + 10), 5,
+                                replace=False))
+        for w in ws:
+            w_list.append(w)
+            d_list.append(d)
+            v_list.append(float(rng.integers(1, 4)))
+    sp = DocSparse.build(
+        np.array(w_list), np.array(d_list), np.array(v_list, np.float32),
+        V, D, chunk=512,
+    )
+    h = to_hybrid(sp, 8, chunk=512)
+    centers0 = jnp.asarray(to_dense(sp)[:, :kc].T)
+    c_l, a_l = run_lloyds_full(sp, centers0, 10)
+    c_e, a_e = run_elkans(h, centers0, 10)
+    np.testing.assert_array_equal(np.asarray(a_l), np.asarray(a_e))
+    np.testing.assert_allclose(np.asarray(c_l), np.asarray(c_e), atol=1e-5)
