@@ -259,6 +259,59 @@ def _weighted_lloyds(P, w, centers, reps):
     return centers, residual
 
 
+@partial(jax.jit, static_argnames=("sample_size",))
+def _mcmc_chain_step(
+    P: jax.Array,  # (kdim, D)
+    q: jax.Array,  # (D,) proposal distribution
+    centers_idx: jax.Array,  # (k,) current center doc ids (padded with 0)
+    n_centers: jax.Array,  # scalar: how many slots are live
+    key: jax.Array,
+    sample_size: int,
+):
+    """One Metropolis chain over a `sample_size` proposal batch, fully on
+    device: draw the batch from q, compute its exact min-dists to the live
+    centers, then run the sequential accept/reject recurrence as a
+    lax.fori_loop carrying only the current chain index. Returns the
+    accepted doc id."""
+    k = centers_idx.shape[0]
+    s1, s2 = jax.random.split(key)
+    samp = jax.random.categorical(s1, jnp.log(q), shape=(sample_size,))
+    Cs = P[:, samp]  # (kdim, S)
+    Cc = P[:, centers_idx]  # (kdim, k) — padded slots masked below
+    d = (
+        jnp.sum(Cs * Cs, axis=0)[:, None]
+        + jnp.sum(Cc * Cc, axis=0)[None, :]
+        - 2.0 * jnp.einsum("ks,kc->sc", Cs, Cc, precision=HI)
+    )
+    live = jnp.arange(k)[None, :] < n_centers
+    d = jnp.where(live, d, jnp.inf)
+    dmin = jnp.maximum(jnp.min(d, axis=1), 0.0)  # (S,)
+    u = jax.random.uniform(s2, (sample_size,))
+    q_s = q[samp]
+
+    def body(s, cur):
+        denom = dmin[cur] * q_s[s]
+        ratio = jnp.where(denom > 0.0, (dmin[s] * q_s[cur]) / denom, 1.0)
+        return jnp.where(ratio > u[s], s, cur)
+
+    cur = jax.lax.fori_loop(1, sample_size, body, jnp.int32(0))
+    return samp[cur]
+
+
+def mcmc_chain_literal(dmin, q_s, u):
+    """Sequential oracle of the Metropolis accept/reject recurrence
+    (reference src/denseMatrix.cpp:841-869 loop semantics): returns the
+    final chain position given per-sample min-dists, proposal masses and
+    uniforms."""
+    cur = 0
+    for s in range(1, len(dmin)):
+        denom = dmin[cur] * q_s[s]
+        ratio = (dmin[s] * q_s[cur]) / denom if denom > 0 else 1.0
+        if ratio > u[s]:
+            cur = s
+    return cur
+
+
 def kmeansmcmc_on_projected(
     P: jax.Array,
     k: int,
@@ -273,7 +326,12 @@ def kmeansmcmc_on_projected(
     acceptance ratio dist(cand) q(cur) / (dist(cur) q(cand)). The
     reference's q regularizer has a sign bug (both axpy's subtract,
     :829,837); we use the published AFK-MC^2 proposal
-    q = 0.5 d^2/total + 0.5/D."""
+    q = 0.5 d^2/total + 0.5/D.
+
+    The chain itself runs on device as a lax.fori_loop (one host sync per
+    accepted center instead of `sample_size` interpreter iterations), so
+    k=1000-scale configs are practical; semantics property-tested against
+    mcmc_chain_literal."""
     kdim, D = P.shape
     sample_size = min(sample_size, max(D, 2))
     docs_l2 = jnp.sum(P * P, axis=0)
@@ -281,6 +339,8 @@ def kmeansmcmc_on_projected(
     first = int(jax.random.randint(sub, (), 0, D))
     centers = [first]
     min_dist = jnp.maximum(docs_l2 + docs_l2[first] - 2.0 * (P.T @ P[:, first]), 0.0)
+    centers_idx = np.zeros(k, np.int32)
+    centers_idx[0] = first
     processed = 1
     refresh = 1
     while len(centers) < k:
@@ -300,29 +360,17 @@ def kmeansmcmc_on_projected(
         for _ in range(refresh):
             if len(centers) >= k:
                 break
-            key, s1, s2 = jax.random.split(key, 3)
-            samp = jax.random.categorical(
-                s1, jnp.log(q), shape=(sample_size,)
+            key, s1 = jax.random.split(key)
+            accepted = _mcmc_chain_step(
+                P,
+                q,
+                jnp.asarray(centers_idx),
+                jnp.int32(len(centers)),
+                s1,
+                sample_size,
             )
-            Cs = P[:, samp]  # (kdim, S)
-            Cc = P[:, jnp.asarray(np.array(centers))]
-            d = (
-                jnp.sum(Cs * Cs, axis=0)[:, None]
-                + jnp.sum(Cc * Cc, axis=0)[None, :]
-                - 2.0 * jnp.einsum("ks,kc->sc", Cs, Cc, precision=HI)
-            )
-            dmin = jnp.maximum(jnp.min(d, axis=1), 0.0)
-            u = np.asarray(jax.random.uniform(s2, (sample_size,)))
-            samp_h = np.asarray(samp)
-            dmin_h = np.asarray(dmin)
-            q_h = np.asarray(q)[samp_h]
-            cur = 0
-            for s in range(1, sample_size):
-                denom = dmin_h[cur] * q_h[s]
-                ratio = (dmin_h[s] * q_h[cur]) / denom if denom > 0 else 1.0
-                if ratio > u[s]:
-                    cur = s
-            centers.append(int(samp_h[cur]))
+            centers_idx[len(centers)] = int(accepted)
+            centers.append(int(accepted))
     residual = float(jnp.sum(min_dist))
     if timer is not None:
         timer.diag(f"kmeansmcmc picked {k} centers")

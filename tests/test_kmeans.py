@@ -90,3 +90,54 @@ def test_empty_cluster_center_is_zero():
     # (further reps may legitimately assign docs to the origin)
     centers, assign = run_lloyds_projected(P, centers0, 1)
     assert (np.asarray(centers)[2] == 0).all()
+
+
+def test_mcmc_chain_matches_literal_oracle():
+    """Device Metropolis chain (_mcmc_chain_step's fori_loop recurrence)
+    vs the sequential oracle, on the same dmin/q/u inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from isle_tpu.kmeans import mcmc_chain_literal
+
+    rng = np.random.default_rng(0)
+    S = 257
+    dmin = rng.random(S).astype(np.float32)
+    dmin[rng.random(S) < 0.1] = 0.0  # exercise the denom == 0 branch
+    q_s = (rng.random(S).astype(np.float32) + 0.01)
+    u = rng.random(S).astype(np.float32)
+
+    want = mcmc_chain_literal(dmin, q_s, u)
+
+    dmin_j = jnp.asarray(dmin)
+    q_j = jnp.asarray(q_s)
+    u_j = jnp.asarray(u)
+
+    def body(s, cur):
+        denom = dmin_j[cur] * q_j[s]
+        ratio = jnp.where(denom > 0.0, (dmin_j[s] * q_j[cur]) / denom, 1.0)
+        return jnp.where(ratio > u_j[s], s, cur)
+
+    got = int(jax.lax.fori_loop(1, S, body, jnp.int32(0)))
+    assert got == want
+
+
+def test_kmeansmcmc_usable_at_larger_k():
+    """The vectorized chain makes k in the hundreds practical (the host
+    loop was 10k interpreter iterations per center)."""
+    import time
+
+    import jax
+
+    from isle_tpu.kmeans import kmeansmcmc_on_projected
+
+    rng = np.random.default_rng(1)
+    P = jnp.asarray(rng.standard_normal((8, 4000)).astype(np.float32))
+    t0 = time.perf_counter()
+    idx, centers, residual = kmeansmcmc_on_projected(
+        P, 64, jax.random.PRNGKey(0), sample_size=512
+    )
+    dt = time.perf_counter() - t0
+    assert centers.shape == (64, 8)
+    assert len(np.unique(np.asarray(idx))) > 32
+    assert residual > 0
