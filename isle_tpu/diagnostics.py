@@ -14,8 +14,6 @@ computed from raw document frequencies of the corpus.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 
 from .corpus import Corpus
@@ -36,36 +34,54 @@ def joint_doc_frequency(corpus: Corpus, w1: int, w2: int) -> int:
     return len(d1 & d2)
 
 
+def joint_doc_frequencies(corpus: Corpus, words: np.ndarray) -> np.ndarray:
+    """All-pairs joint document frequencies of `words` as ONE boolean Gram
+    product: Z (docs x |T|) indicator of word-in-doc, J = Z^T Z (|T| on
+    the order of k*5, so J is tiny). Replaces the reference's per-pair
+    doc-list intersections (src/sparseMatrix.cpp:841-967) with a single
+    BLAS/MXU matmul — no per-pair loops."""
+    T = len(words)
+    idx = np.full(corpus.vocab_size, -1, np.int64)
+    idx[words] = np.arange(T)
+    sel = idx[corpus.rows] >= 0
+    Z = np.zeros((corpus.num_docs, T), np.float32)
+    Z[corpus.doc_ids()[sel], idx[corpus.rows[sel]]] = 1.0
+    return (Z.T @ Z).astype(np.int64)
+
+
 def topic_coherence(
     corpus: Corpus,
     model: np.ndarray,
     num_words: int = 5,
     eps: float = 1e-5,
 ) -> np.ndarray:
-    """Per-topic UMass-style coherence over the top `num_words` words."""
+    """Per-topic UMass-style coherence over the top `num_words` words:
+    sum over l > m of log((joint_df(w_l, w_m) + eps) / df(w_m)), with all
+    joint frequencies from one boolean Gram matmul (no per-pair Python
+    work; the reference does the pair loop multithreaded in C++,
+    src/sparseMatrix.cpp:841-1015)."""
     V = corpus.vocab_size
     k = model.shape[1]
     tops = top_words_per_topic(model, num_words)
-    # doc sets per needed word, computed once
     needed = sorted({w for top in tops for w, _ in top})
-    docs = corpus.doc_ids()
-    word_docs = {}
-    for w in needed:
-        word_docs[w] = np.unique(docs[corpus.rows == w])
+    pos = {w: i for i, w in enumerate(needed)}
+    J = joint_doc_frequencies(corpus, np.asarray(needed, np.int64))
     df = np.bincount(corpus.rows, minlength=V)
     out = np.zeros(k, np.float64)
     for t in range(k):
-        ws = [w for w, wt in tops[t] if wt > 0.0]
-        c = 0.0
-        for l in range(1, len(ws)):
-            for m in range(l):
-                joint = np.intersect1d(
-                    word_docs[ws[l]], word_docs[ws[m]], assume_unique=True
-                ).size
-                denom = df[ws[m]]
-                if denom > 0:
-                    c += np.log((joint + eps) / denom)
-        out[t] = c
+        ws = np.asarray(
+            [pos[w] for w, wt in tops[t] if wt > 0.0], np.int64
+        )
+        dfw = np.asarray([df[w] for w, wt in tops[t] if wt > 0.0])
+        n = len(ws)
+        if n < 2:
+            continue
+        Jt = J[np.ix_(ws, ws)].astype(np.float64)  # (n, n)
+        l_idx, m_idx = np.tril_indices(n, k=-1)
+        denom = dfw[m_idx].astype(np.float64)
+        vals = Jt[l_idx, m_idx]
+        mask = denom > 0
+        out[t] = np.log((vals[mask] + eps) / denom[mask]).sum()
     return out.astype(np.float32)
 
 
@@ -96,18 +112,31 @@ def log_combinatorial(corpus: Corpus) -> np.ndarray:
 
 def count_distinct_top_five(corpus: Corpus, min_count: int) -> int:
     """#top-5-word multisets occurring in more than `min_count` docs
-    (src/sparseMatrix.cpp:170-215)."""
+    (src/sparseMatrix.cpp:170-215), as ONE global lexsort: entries rank
+    by (doc, -val, position) — stable-argsort tie order per doc — the
+    first 5 per doc select its multiset, word-sorted rows dedupe via
+    np.unique. No per-doc Python loop (the old one was hours at 8.2M
+    docs)."""
     D = corpus.num_docs
-    tops: List[tuple] = []
-    for d in range(D):
-        lo, hi = corpus.offsets[d], corpus.offsets[d + 1]
-        if hi == lo:
-            continue
-        rows = corpus.rows[lo:hi]
-        vals = corpus.vals[lo:hi]
-        idx = np.argsort(-vals, kind="stable")[:5]
-        tops.append(tuple(sorted(rows[idx].tolist())))
-    from collections import Counter
-
-    counts = Counter(tops)
-    return sum(1 for v in counts.values() if v > min_count)
+    nnz = corpus.nnz
+    if nnz == 0:
+        return 0
+    docs = corpus.doc_ids().astype(np.int64)
+    # stable sort by (doc asc, val desc); stability preserves the
+    # reference's first-index tie behavior within each doc.
+    order = np.lexsort((np.arange(nnz), -corpus.vals, docs))
+    sdoc = docs[order]
+    srow = corpus.rows[order]
+    # rank within doc
+    starts = np.searchsorted(sdoc, np.arange(D))
+    rank = np.arange(nnz) - starts[sdoc]
+    take = rank < 5
+    td, tw, tr = sdoc[take], srow[take], rank[take]
+    lengths = np.bincount(td, minlength=D)
+    keep = lengths > 0
+    # (docs_with_entries, 5) word matrix, padded with vocab_size sentinel
+    M = np.full((D, 5), corpus.vocab_size, np.int64)
+    M[td, tr] = tw
+    M = np.sort(M[keep], axis=1)  # multiset canonical form
+    _, counts = np.unique(M, axis=0, return_counts=True)
+    return int((counts > min_count).sum())

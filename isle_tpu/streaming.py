@@ -351,7 +351,12 @@ class StreamedTrainer:
     def __getattr__(self, name):
         return getattr(self._t, name)
 
-    def train(self) -> None:
+    def train(self, resume: bool = False) -> None:
+        """Run the streamed pipeline; resume=True restores completed
+        stages from the run directory (same stage files as Trainer, so a
+        run can even switch between in-core and streamed modes mid-way) —
+        multi-hour out-of-core runs over a flaky device link restart
+        without recomputation."""
         from .catchwords import catchword_topic_map, find_catchwords, rth_highest
         from .hybrid import to_hybrid
         from .kmeans import (
@@ -360,7 +365,7 @@ class StreamedTrainer:
             run_lloyds_projected,
         )
         from .linalg import block_ks_device
-        from .matops import mat_b_y, mat_bt_x, mat_gram_x
+        from .matops import mat_bt_x, mat_gram_x
 
         t = self._t
         cfg = t.config
@@ -371,23 +376,69 @@ class StreamedTrainer:
         key = jax.random.PRNGKey(cfg.seed)
         ce = self.chunk_entries
 
-        zetas, new_nnz = streamed_thresholds(corpus, k, hp, ce)
-        t.logger.info(f"Entries above threshold: {new_nnz}")
-        t.timer.next("streamed thresholds")
+        ck = t._load_checkpoints() if resume else {}
+        if "model" in ck:
+            m = ck["model"]
+            t.model = m["model"]
+            if "is_cw" in m:
+                is_cw = m["is_cw"]
+                t.catchwords = [np.flatnonzero(is_cw[i]) for i in range(k)]
+                t.catchword_thresholds = m.get("catchword_thresholds")
+            if "t1" in m:
+                t.top_pairs = (m["t1"], m["t2"], m["valid"])
+            if "kmeans" in ck:
+                t.centers = ck["kmeans"]["centers"]
+                t.cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
+            if "svd" in ck:
+                t.evalues = ck["svd"]["evalues"]
+                t.original_cols = ck["svd"]["original_cols"]
+            t.logger.info("resumed from 'model' checkpoint")
+            t.is_training_complete = True
+            return
+        resume_kmeans = "kmeans" in ck
+        resume_svd = "svd" in ck
+
+        if resume_svd:
+            zetas = jnp.asarray(ck["svd"]["zetas"])
+            original_cols = ck["svd"]["original_cols"]
+            t.original_cols = original_cols
+            t.logger.info("resumed thresholds from 'svd' checkpoint")
+        else:
+            zetas, new_nnz = streamed_thresholds(corpus, k, hp, ce)
+            t.logger.info(f"Entries above threshold: {new_nnz}")
+            t.timer.next("streamed thresholds")
+
+        if resume_kmeans:
+            t.centers = ck["kmeans"]["centers"]
+            cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
+            t.cluster_of_doc = cluster_of_doc
+            if resume_svd:
+                t.evalues = ck["svd"]["evalues"]
+            assign_h = cluster_of_doc[cluster_of_doc >= 0]
+            sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
+            t.logger.info("resumed clustering from 'kmeans' checkpoint")
+            self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce)
+            return
 
         select = None
         if cfg.sample_docs:
-            weights = streamed_doc_weights(corpus, zetas, ce)
-            key, sub = jax.random.split(key)
-            u = jax.random.uniform(sub, (D,), jnp.float32)
-            dice = jnp.where(
-                weights > 0.0,
-                jnp.power(u, 1.0 / jnp.maximum(weights, 1e-30)),
-                0.0,
-            )
-            pivot = jnp.sort(dice)[::-1][int(cfg.sample_rate * D)]
-            select = dice >= pivot
-            t.timer.next("streamed doc sampling")
+            if resume_svd:
+                # original_cols pins the surviving docs exactly
+                select = jnp.zeros((D,), bool).at[
+                    jnp.asarray(original_cols)
+                ].set(True)
+            else:
+                weights = streamed_doc_weights(corpus, zetas, ce)
+                key, sub = jax.random.split(key)
+                u = jax.random.uniform(sub, (D,), jnp.float32)
+                dice = jnp.where(
+                    weights > 0.0,
+                    jnp.power(u, 1.0 / jnp.maximum(weights, 1e-30)),
+                    0.0,
+                )
+                pivot = jnp.sort(dice)[::-1][int(cfg.sample_rate * D)]
+                select = dice >= pivot
+                t.timer.next("streamed doc sampling")
 
         key, sub = jax.random.split(key)  # keep key schedule aligned
         B, original_cols = streamed_build_b(
@@ -408,15 +459,24 @@ class StreamedTrainer:
         t.timer.next("hybrid layout")
 
         key, sub = jax.random.split(key)
-        res = block_ks_device(
-            lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
-            V, k, op_data=B, blk=hp.block_ks_block_size,
-            tol=hp.block_ks_tolerance, max_restarts=hp.block_ks_max_iters,
-            key=sub, timer=t.timer,
-        )
-        t.evalues = res.evals
-        U = res.evecs
-        t.timer.next("eigen solve (B B^T)")
+        if resume_svd:
+            t.evalues = ck["svd"]["evalues"]
+            U = jnp.asarray(ck["svd"]["U"])
+            t.logger.info("resumed eigenvectors from 'svd' checkpoint")
+        else:
+            res = block_ks_device(
+                lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
+                V, k, op_data=B, blk=hp.block_ks_block_size,
+                tol=hp.block_ks_tolerance, max_restarts=hp.block_ks_max_iters,
+                key=sub, timer=t.timer,
+            )
+            t.evalues = res.evals
+            U = res.evecs
+            t.timer.next("eigen solve (B B^T)")
+            t._checkpoint(
+                "svd", U=np.asarray(U), evalues=t.evalues,
+                zetas=np.asarray(zetas), original_cols=original_cols,
+            )
 
         P = mat_bt_x(B, U, cfg.tpu.spmm_chunk).T
         key, sub = jax.random.split(key)
@@ -440,7 +500,14 @@ class StreamedTrainer:
         cluster_of_doc[original_cols] = assign_h
         t.cluster_of_doc = cluster_of_doc
         sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
+        t._checkpoint("kmeans", centers=t.centers,
+                      cluster_of_doc=cluster_of_doc)
+        self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce)
 
+    def _finish(self, corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce):
+        from .catchwords import catchword_topic_map, find_catchwords, rth_highest
+
+        t = self._t
         r = hp.catchword_rank(
             D, k, cfg.sample_rate if cfg.sample_docs else None
         )
@@ -464,7 +531,17 @@ class StreamedTrainer:
             chunk_entries=ce,
         )
         t.model = np.asarray(model)
+        extra = {}
         if pairs is not None:
             t.top_pairs = tuple(np.asarray(x) for x in pairs)
+            extra = dict(t1=t.top_pairs[0], t2=t.top_pairs[1],
+                         valid=t.top_pairs[2])
         t.timer.next("streamed topic model")
+        t._checkpoint(
+            "model",
+            model=t.model,
+            is_cw=is_cw,
+            catchword_thresholds=t.catchword_thresholds,
+            **extra,
+        )
         t.is_training_complete = True

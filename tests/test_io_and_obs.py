@@ -126,3 +126,74 @@ def test_native_sort_dedup_matches_numpy():
     np.testing.assert_array_equal(nd, ds[keep])
     np.testing.assert_array_equal(nw, ws[keep])
     np.testing.assert_array_equal(nc, cs[keep])
+
+
+def _loop_coherence(corpus, model, num_words, eps=1e-5):
+    """The pre-vectorization per-pair implementation, kept as the oracle
+    (reference loop semantics, src/sparseMatrix.cpp:841-1015)."""
+    from isle_tpu.io_text import top_words_per_topic
+
+    V = corpus.vocab_size
+    k = model.shape[1]
+    tops = top_words_per_topic(model, num_words)
+    docs = corpus.doc_ids()
+    word_docs = {
+        w: np.unique(docs[corpus.rows == w])
+        for top in tops for w, _ in top
+    }
+    df = np.bincount(corpus.rows, minlength=V)
+    out = np.zeros(k)
+    for t in range(k):
+        ws = [w for w, wt in tops[t] if wt > 0.0]
+        c = 0.0
+        for l in range(1, len(ws)):
+            for m in range(l):
+                joint = np.intersect1d(
+                    word_docs[ws[l]], word_docs[ws[m]], assume_unique=True
+                ).size
+                if df[ws[m]] > 0:
+                    c += np.log((joint + eps) / df[ws[m]])
+        out[t] = c
+    return out.astype(np.float32)
+
+
+def _loop_distinct_top5(corpus, min_count):
+    from collections import Counter
+
+    tops = []
+    for d in range(corpus.num_docs):
+        lo, hi = corpus.offsets[d], corpus.offsets[d + 1]
+        if hi == lo:
+            continue
+        rows = corpus.rows[lo:hi]
+        vals = corpus.vals[lo:hi]
+        idx = np.argsort(-vals, kind="stable")[:5]
+        tops.append(tuple(sorted(rows[idx].tolist())))
+    counts = Counter(tops)
+    return sum(1 for v in counts.values() if v > min_count)
+
+
+def test_vectorized_coherence_matches_loop_oracle():
+    rng = np.random.default_rng(5)
+    V, D, k = 50, 300, 6
+    docs = np.repeat(np.arange(D), 8)
+    words = rng.integers(0, V, len(docs))
+    counts = rng.integers(1, 5, len(docs))
+    c = Corpus.from_entries(docs, words, counts, vocab_size=V, num_docs=D)
+    model = rng.random((V, k)).astype(np.float32)
+    model /= model.sum(axis=0)
+    got = topic_coherence(c, model, 5)
+    want = _loop_coherence(c, model, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_vectorized_distinct_top5_matches_loop_oracle():
+    rng = np.random.default_rng(6)
+    V, D = 30, 400
+    lens = rng.integers(0, 9, D)  # includes empty and short docs
+    docs = np.repeat(np.arange(D), lens)
+    words = rng.integers(0, V, len(docs))
+    counts = rng.integers(1, 4, len(docs))
+    c = Corpus.from_entries(docs, words, counts, vocab_size=V, num_docs=D)
+    for mc in (0, 1, 3):
+        assert count_distinct_top_five(c, mc) == _loop_distinct_top5(c, mc)

@@ -148,3 +148,70 @@ def test_checkpoint_resume(corpus_pair):
     t3.load_data_from_file(tdf)
     t3.train(resume=True)
     np.testing.assert_allclose(t3.model, ref_model, atol=2e-4)
+
+
+def test_streamed_resume(tmp_path):
+    """Stage checkpoints restore in the streamed mode (the out-of-core
+    path most needs mid-run restartability; reference restarts only from
+    final artifacts, SURVEY.md §5.4)."""
+    import os
+
+    from isle_tpu.streaming import StreamedTrainer
+
+    rng = np.random.default_rng(12)
+    corpus = _synth(rng, V=60, D=200, k=4) if "_synth" in globals() else None
+    if corpus is None:
+        # build inline
+        V, D, k = 60, 200, 4
+        block = V // k
+        docs, words, counts = [], [], []
+        for d in range(D):
+            t = rng.integers(0, k)
+            ws = np.concatenate([
+                rng.integers(t * block, (t + 1) * block, 14),
+                rng.integers(0, V, 3),
+            ])
+            ws, cs = np.unique(ws, return_counts=True)
+            docs.append(np.full(len(ws), d))
+            words.append(ws)
+            counts.append(cs)
+        from isle_tpu.corpus import Corpus
+
+        corpus = Corpus.from_entries(
+            np.concatenate(docs), np.concatenate(words),
+            np.concatenate(counts), vocab_size=V, num_docs=D,
+            sort_dedup=True,
+        )
+    from isle_tpu.config import HyperParams, TrainConfig
+
+    cfg = TrainConfig(
+        num_topics=4, seed=3, hyper=HyperParams(block_ks_block_size=8)
+    )
+    st = StreamedTrainer(cfg, output_dir=str(tmp_path), quiet=True,
+                         chunk_entries=1 << 10)
+    st._t.corpus = corpus
+    st._t._post_ingest()
+    st.train()
+    for stage in ("svd", "kmeans", "model"):
+        assert os.path.exists(
+            os.path.join(st._t.run_dir, f"ckpt_{stage}.npz")
+        ), stage
+
+    st2 = StreamedTrainer(cfg, output_dir=str(tmp_path), quiet=True,
+                          chunk_entries=1 << 10)
+    st2._t.corpus = corpus
+    st2._t._post_ingest()
+    st2.train(resume=True)
+    np.testing.assert_allclose(st2._t.model, st._t.model, rtol=1e-6)
+    np.testing.assert_array_equal(
+        st2._t.cluster_of_doc, st._t.cluster_of_doc
+    )
+
+    # partial resume: drop the model checkpoint, keep svd+kmeans
+    os.remove(os.path.join(st._t.run_dir, "ckpt_model.npz"))
+    st3 = StreamedTrainer(cfg, output_dir=str(tmp_path), quiet=True,
+                          chunk_entries=1 << 10)
+    st3._t.corpus = corpus
+    st3._t._post_ingest()
+    st3.train(resume=True)
+    np.testing.assert_allclose(st3._t.model, st._t.model, rtol=1e-6)
