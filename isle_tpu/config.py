@@ -115,9 +115,10 @@ class TpuConfig:
     spmm_chunk: int = 1 << 21
     # HBM budget for the dense Zipf-head rows of the hybrid SpMM layout
     # (see hybrid.py); 0 disables the hybrid layout. Dense-head matmuls
-    # are cheap relative to the ~157 Mrows/s gather ceiling, so a bigger
-    # head directly cuts the gather-bound tail.
-    dense_head_bytes: int = 1536 << 20
+    # are ~20x cheaper per nnz than the ~157 Mrows/s gather ceiling
+    # (benchmarks/micro_head2.py), so the head should be as large as HBM
+    # allows; the factored layout stores it at 2 bytes/cell (bf16 binary).
+    dense_head_bytes: int = 4096 << 20
     # Use Pallas kernels where available (else pure-XLA fallbacks).
     use_pallas: bool = True
     # Run the eigensolver's restart loop on-device in one lax.while_loop

@@ -53,8 +53,9 @@ def _entry_view(sp):
     both storage formats (hybrid tail octet doc ids expand 8-to-1; the
     dense head is handled separately by matmul)."""
     if isinstance(sp, HybridSparse):
-        doc = jnp.repeat(sp.td_odoc, 8)
-        return sp.td_word, doc, sp.td_val
+        from .hybrid import h_to_doc_sparse_vals
+
+        return h_to_doc_sparse_vals(sp)
     return sp.d_word, sp.d_doc, sp.d_val
 
 
@@ -106,7 +107,11 @@ def _flagged_dists(
         # dense-head contribution: gather flagged doc columns, one matmul
         Hf = jnp.take(sp.head, jnp.minimum(ids, D - 1), axis=1)  # (R, m)
         Xh = X[sp.head_words]  # (R, k)
-        dots = dots + jnp.matmul(Hf.T, Xh, precision=HI)
+        if sp.row_scale is not None:  # binary head: fold scale into Xh
+            Xh = Xh * sp.row_scale[sp.head_words][:, None]
+        dots = dots + jnp.matmul(
+            Hf.T.astype(jnp.float32), Xh, precision=HI
+        )
     l2 = jnp.concatenate([docs_l2, jnp.zeros((1,), jnp.float32)])[ids]
     c_l2 = jnp.sum(centers * centers, axis=1)
     d2 = l2[:, None] + c_l2[None, :] - 2.0 * dots

@@ -28,8 +28,12 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
 from .sparse import DocSparse
 
 HI = jax.lax.Precision.HIGHEST
@@ -39,18 +43,35 @@ DEFAULT_CHUNK = 1 << 21
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HybridSparse:
-    """Dense head (R x D) + octet-padded dual-sorted COO tail."""
+    """Dense head (R x D) + octet-padded dual-sorted COO tail.
+
+    Two storage modes:
+
+    - general (`row_scale is None`): head holds the actual float values,
+      the tail carries per-entry vals (td_val/tw_val).
+    - factored (`row_scale` set): every nonzero of row w equals
+      row_scale[w] — true for the thresholded matrix B, whose entries are
+      all sqrt(zeta_w) (reference src/sparseMatrix.cpp:1349). Then the
+      head stores only the BINARY occupancy pattern in bfloat16 (0/1 are
+      exact in bf16, so this is lossless and HALVES the head's HBM
+      footprint/streaming, letting the head absorb twice the Zipf mass),
+      and the tail stores no values at all: bt_x gathers from the
+      row-pre-scaled operand Xs = X * row_scale[:, None], and b_y scales
+      its output rows once — bitwise the same per-entry products as the
+      general mode.
+    """
 
     head_words: jax.Array  # (R,) int32 word ids of dense rows
-    head: jax.Array  # (R, D) float32
+    head: jax.Array  # (R, D) float32 values, or bfloat16 binary (factored)
     # tail, doc-sorted, segments padded to x8; pads: word=vocab, val=0
     td_word: jax.Array  # (Nt,)
-    td_val: jax.Array  # (Nt,)
+    td_val: Optional[jax.Array]  # (Nt,) — None in factored mode
     td_odoc: jax.Array  # (Nt/8,) per-octet doc id (num_docs for all-pad)
     # tail, word-sorted, segments padded to x8; pads: doc=num_docs, val=0
     tw_doc: jax.Array  # (Nw,)
-    tw_val: jax.Array  # (Nw,)
+    tw_val: Optional[jax.Array]  # (Nw,) — None in factored mode
     tw_oword: jax.Array  # (Nw/8,) per-octet word id (vocab for all-pad)
+    row_scale: Optional[jax.Array]  # (vocab,) float32, factored mode only
     vocab: int = dataclasses.field(metadata=dict(static=True))
     num_docs: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -109,6 +130,19 @@ def _build_head(sp: DocSparse, rank, is_head, num_head: int, num_docs: int):
     return H[:num_head, :num_docs], hmask.sum()
 
 
+@partial(jax.jit, static_argnames=("num_head", "num_docs"))
+def _build_head_binary(sp: DocSparse, rank, is_head, num_head: int, num_docs: int):
+    """Factored mode: bfloat16 occupancy pattern (0/1 exact in bf16),
+    built directly in bf16 so no f32-sized temporary ever exists."""
+    r = rank[sp.d_word]
+    hmask = is_head[sp.d_word]
+    rr = jnp.where(hmask, r, num_head)
+    dd = jnp.where(hmask, sp.d_doc, num_docs)
+    H = jnp.zeros((num_head + 1, num_docs + 1), jnp.bfloat16)
+    H = H.at[rr, dd].set(jnp.bfloat16(1.0))
+    return H[:num_head, :num_docs], hmask.sum()
+
+
 @partial(jax.jit, static_argnames=("vocab", "num_segments"))
 def _tail_plan(word, seg, is_head, vocab: int, num_segments: int):
     mask = (~is_head[word]) & (word < vocab)
@@ -132,15 +166,39 @@ def _compact_ids(ids, pos, n_pad: int, fill: int):
     return jnp.full((n_pad,), fill, jnp.int32).at[pos].set(ids, mode="drop")
 
 
+@partial(jax.jit, static_argnames=("n_pad", "seg_spill", "fill"))
+def _compact_tail_novals(
+    ids, seg, pos, n_pad: int, seg_spill: int, fill: int
+):
+    """Factored-mode compaction: per-entry ids + per-octet segment ids,
+    no value array."""
+    out_i = jnp.full((n_pad,), fill, jnp.int32).at[pos].set(ids, mode="drop")
+    big = jnp.int32(seg_spill)
+    out_s = jnp.full((n_pad,), big).at[pos].set(seg, mode="drop")
+    oseg = jnp.min(out_s.reshape(n_pad // 8, 8), axis=1)
+    return out_i, oseg
+
+
 def to_hybrid(
-    sp: DocSparse, num_head: int, chunk: int = DEFAULT_CHUNK
+    sp: DocSparse,
+    num_head: int,
+    chunk: int = DEFAULT_CHUNK,
+    row_scale: Optional[jax.Array] = None,
 ) -> HybridSparse:
-    """Build the hybrid layout on device from a DocSparse."""
+    """Build the hybrid layout on device from a DocSparse.
+
+    With `row_scale` (vocab,) — the per-row constant value, sqrt(zeta)
+    for the thresholded B — the factored layout is built instead: bf16
+    binary head, no tail value arrays (see HybridSparse docstring). The
+    caller guarantees sp's nonzeros satisfy val == row_scale[word]."""
     V, D = sp.vocab, sp.num_docs
     num_head = int(min(num_head, V))
     head_words, is_head, rank = _head_select(sp, num_head)
 
-    head, head_nnz = _build_head(sp, rank, is_head, num_head, D)
+    if row_scale is None:
+        head, head_nnz = _build_head(sp, rank, is_head, num_head, D)
+    else:
+        head, head_nnz = _build_head_binary(sp, rank, is_head, num_head, D)
     head_nnz = int(head_nnz)
 
     # Tail plans: sizes need a host sync to fix static shapes.
@@ -151,13 +209,22 @@ def to_hybrid(
     Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
     Nw_pad = max(((Nw + chunk - 1) // chunk) * chunk, chunk)
 
-    td_word, td_val, td_odoc = _compact_tail(
-        sp.d_word, sp.d_doc, sp.d_val, pos_d, V, Nt_pad, D
-    )
-    _, tw_val, tw_oword = _compact_tail(
-        sp.w_word, sp.w_word, sp.w_val, pos_w, V, Nw_pad, V
-    )
-    tw_doc = _compact_ids(sp.w_doc, pos_w, Nw_pad, D)
+    if row_scale is None:
+        td_word, td_val, td_odoc = _compact_tail(
+            sp.d_word, sp.d_doc, sp.d_val, pos_d, V, Nt_pad, D
+        )
+        _, tw_val, tw_oword = _compact_tail(
+            sp.w_word, sp.w_word, sp.w_val, pos_w, V, Nw_pad, V
+        )
+        tw_doc = _compact_ids(sp.w_doc, pos_w, Nw_pad, D)
+    else:
+        td_val = tw_val = None
+        td_word, td_odoc = _compact_tail_novals(
+            sp.d_word, sp.d_doc, pos_d, Nt_pad, D, V
+        )
+        tw_doc, tw_oword = _compact_tail_novals(
+            sp.w_doc, sp.w_word, pos_w, Nw_pad, V, D
+        )
 
     return HybridSparse(
         head_words=head_words,
@@ -168,6 +235,10 @@ def to_hybrid(
         tw_doc=tw_doc,
         tw_val=tw_val,
         tw_oword=tw_oword,
+        row_scale=(
+            None if row_scale is None
+            else jnp.asarray(row_scale, jnp.float32)
+        ),
         vocab=V,
         num_docs=D,
         nnz=sp.nnz,
@@ -177,54 +248,98 @@ def to_hybrid(
 
 def _tail_gather_octsum(
     gather_idx: jax.Array,
-    vals: jax.Array,
+    vals: Optional[jax.Array],
     oct_seg: jax.Array,
     X: jax.Array,
     num_segments: int,
     chunk: int,
 ) -> jax.Array:
     """Two-level sorted segment sum: gather rows, 8-to-1 reshape-reduce,
-    then a scatter-add of octet sums."""
+    then a scatter-add of octet sums. vals=None skips the per-entry
+    multiply (factored mode: the scale lives in the gathered operand or
+    is applied to the output)."""
     n = gather_idx.shape[0]
     chunk = min(chunk, n)
     assert n % chunk == 0
     nchunks = n // chunk
     W = X.shape[1]
     gi = gather_idx.reshape(nchunks, chunk)
-    vv = vals.reshape(nchunks, chunk)
     os = oct_seg.reshape(nchunks, chunk // 8)
 
-    def body(acc, args):
-        g_idx, v, seg = args
-        g = jnp.take(X, g_idx, axis=0, fill_value=0.0) * v[:, None]
-        octs = jnp.sum(g.reshape(chunk // 8, 8, W), axis=1)
-        acc = acc.at[seg].add(octs, indices_are_sorted=True)
-        return acc, None
+    if vals is None:
+        def body(acc, args):
+            g_idx, seg = args
+            g = jnp.take(X, g_idx, axis=0, fill_value=0.0)
+            octs = jnp.sum(g.reshape(chunk // 8, 8, W), axis=1)
+            acc = acc.at[seg].add(octs, indices_are_sorted=True)
+            return acc, None
+
+        xs = (gi, os)
+    else:
+        vv = vals.reshape(nchunks, chunk)
+
+        def body(acc, args):
+            g_idx, v, seg = args
+            g = jnp.take(X, g_idx, axis=0, fill_value=0.0) * v[:, None]
+            octs = jnp.sum(g.reshape(chunk // 8, 8, W), axis=1)
+            acc = acc.at[seg].add(octs, indices_are_sorted=True)
+            return acc, None
+
+        xs = (gi, vv, os)
 
     out, _ = jax.lax.scan(
-        body, jnp.zeros((num_segments + 1, W), dtype=X.dtype), (gi, vv, os)
+        body, jnp.zeros((num_segments + 1, W), dtype=X.dtype), xs
     )
     return out
+
+
+def _head_dot(head: jax.Array, other: jax.Array, transpose: bool) -> jax.Array:
+    """head @ other (or head^T @ other with transpose=True). The factored
+    head is bf16 binary; the mixed bf16 x f32 dot upcasts to f32 on the
+    MXU — exact for 0/1 head entries — while streaming the head at
+    2 bytes/cell."""
+    contract = (0,) if transpose else (1,)
+    return jax.lax.dot_general(
+        head,
+        other,
+        ((contract, (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 @partial(jax.jit, static_argnames=("chunk",))
 def h_bt_x(h: HybridSparse, X: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     """B^T X: dense head matmul + tail two-level segment sum."""
-    Xh = X[h.head_words]  # (R, W)
-    out_head = jnp.matmul(h.head.T, Xh, precision=HI)  # (D, W)
-    out = _tail_gather_octsum(
-        h.td_word, h.td_val, h.td_odoc, X, h.num_docs, chunk
-    )
+    if h.row_scale is None:
+        Xh = X[h.head_words]  # (R, W)
+        out_head = jnp.matmul(h.head.T, Xh, precision=HI)  # (D, W)
+        out = _tail_gather_octsum(
+            h.td_word, h.td_val, h.td_odoc, X, h.num_docs, chunk
+        )
+    else:
+        Xs = X[: h.vocab] * h.row_scale[:, None]
+        Xh = Xs[h.head_words]  # (R, W)
+        out_head = _head_dot(h.head, Xh, transpose=True)  # (D, W)
+        out = _tail_gather_octsum(
+            h.td_word, None, h.td_odoc, Xs, h.num_docs, chunk
+        )
     return out[: h.num_docs] + out_head
 
 
 @partial(jax.jit, static_argnames=("chunk",))
 def h_b_y(h: HybridSparse, Y: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     """B Y: tail scatter by word + dense head matmul into head rows."""
+    if h.row_scale is None:
+        out = _tail_gather_octsum(
+            h.tw_doc, h.tw_val, h.tw_oword, Y, h.vocab, chunk
+        )[: h.vocab]
+        head_out = jnp.matmul(h.head, Y[: h.num_docs], precision=HI)
+        return out.at[h.head_words].add(head_out)
     out = _tail_gather_octsum(
-        h.tw_doc, h.tw_val, h.tw_oword, Y, h.vocab, chunk
-    )[: h.vocab]
-    head_out = jnp.matmul(h.head, Y[: h.num_docs], precision=HI)  # (R, W)
+        h.tw_doc, None, h.tw_oword, Y, h.vocab, chunk
+    )[: h.vocab] * h.row_scale[:, None]
+    head_out = _head_dot(h.head, Y[: h.num_docs], transpose=False)  # (R, W)
+    head_out = head_out * h.row_scale[h.head_words][:, None]
     return out.at[h.head_words].add(head_out)
 
 
@@ -235,20 +350,30 @@ def h_gram_x(h: HybridSparse, X: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.A
 
 @partial(jax.jit, static_argnames=("chunk",))
 def h_doc_l2sq(h: HybridSparse, chunk: int = DEFAULT_CHUNK) -> jax.Array:
-    head_l2 = jnp.sum(h.head * h.head, axis=0)  # (D,)
-    n = h.td_val.shape[0]
+    if h.row_scale is None:
+        head_l2 = jnp.sum(h.head * h.head, axis=0)  # (D,)
+        vals2 = h.td_val * h.td_val
+    else:
+        s2 = h.row_scale * h.row_scale
+        # head is binary: per-doc head l2 = s^2[head rows] . pattern
+        head_l2 = _head_dot(
+            h.head, s2[h.head_words][:, None], transpose=True
+        )[: h.num_docs, 0]
+        s2p = jnp.concatenate([s2, jnp.zeros((1,), jnp.float32)])
+        vals2 = s2p[jnp.minimum(h.td_word, h.vocab)]
+    n = vals2.shape[0]
     c = min(chunk, n)
     nchunks = n // c
 
     def body(acc, args):
-        v, seg = args
-        octs = jnp.sum((v * v).reshape(c // 8, 8), axis=1)
+        v2, seg = args
+        octs = jnp.sum(v2.reshape(c // 8, 8), axis=1)
         return acc.at[seg].add(octs, indices_are_sorted=True), None
 
     tail, _ = jax.lax.scan(
         body,
         jnp.zeros((h.num_docs + 1,), jnp.float32),
-        (h.td_val.reshape(nchunks, c), h.td_odoc.reshape(nchunks, c // 8)),
+        (vals2.reshape(nchunks, c), h.td_odoc.reshape(nchunks, c // 8)),
     )
     return head_l2 + tail[: h.num_docs]
 
@@ -257,3 +382,162 @@ def h_spmm_flops(h: HybridSparse, width: int) -> int:
     """FLOPs of one h_bt_x or h_b_y (dense head counts its real MXU work)."""
     tail_nnz = h.nnz - h.head_nnz
     return 2 * tail_nnz * width + 2 * h.num_head * h.num_docs * width
+
+
+def h_to_doc_sparse_vals(h: HybridSparse):
+    """Per-entry (word, doc, val) view of the tail in doc-sorted order
+    (factored mode resolves vals from row_scale)."""
+    doc = jnp.repeat(h.td_odoc, 8)
+    if h.row_scale is not None:
+        sp = jnp.concatenate(
+            [h.row_scale, jnp.zeros((1,), jnp.float32)]
+        )
+        val = sp[jnp.minimum(h.td_word, h.vocab)]
+    else:
+        val = h.td_val
+    return h.td_word, doc, val
+
+
+# ---------------------------------------------------------------------------
+# Fused construction: thresholded B directly from A in the factored hybrid
+# layout (threshold_and_copy + to_hybrid in one pass, skipping the
+# intermediate B COO entirely — roughly halves the full-size scatters).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_docs",))
+def _occupancy(word, doc, val, zetas, sel_p, num_docs: int):
+    from .bmatrix import _keep_mask
+
+    keep = _keep_mask(word, val, zetas) & sel_p[doc]
+    occ = (
+        jax.ops.segment_sum(
+            keep.astype(jnp.int32), doc, num_segments=num_docs + 1
+        )[:num_docs]
+        > 0
+    )
+    new_doc = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    frob_sq = jnp.sum(
+        jnp.where(
+            keep,
+            jnp.concatenate([zetas, jnp.zeros((1,), jnp.float32)])[word],
+            0.0,
+        )
+    )
+    return keep, occ, new_doc, frob_sq
+
+
+@partial(jax.jit, static_argnames=("vocab", "num_head"))
+def _head_select_masked(w_word, keep_w, vocab: int, num_head: int):
+    counts = jax.ops.segment_sum(
+        keep_w.astype(jnp.int32), w_word, num_segments=vocab + 1
+    )[:vocab]
+    _, head_words = jax.lax.top_k(counts, num_head)
+    head_words = jnp.sort(head_words).astype(jnp.int32)
+    is_head = jnp.zeros((vocab + 1,), bool).at[head_words].set(True)
+    rank = jnp.zeros((vocab + 1,), jnp.int32).at[head_words].set(
+        jnp.arange(num_head, dtype=jnp.int32)
+    )
+    return head_words, is_head, rank
+
+
+@partial(jax.jit, static_argnames=("num_head", "nz_docs"))
+def _build_head_masked(
+    word, doc, keep, is_head, rank, ndp, num_head: int, nz_docs: int
+):
+    hmask = keep & is_head[word]
+    rr = jnp.where(hmask, rank[word], num_head)
+    dd = jnp.where(hmask, ndp[doc], nz_docs)
+    H = jnp.zeros((num_head + 1, nz_docs + 1), jnp.bfloat16)
+    H = H.at[rr, dd].set(jnp.bfloat16(1.0))
+    return H[:num_head, :nz_docs], hmask.sum()
+
+
+def hybrid_from_thresholds(
+    A: DocSparse,
+    zetas: jax.Array,
+    head_budget_bytes: int,
+    chunk: int = DEFAULT_CHUNK,
+    sample_rate=None,
+    key=None,
+):
+    """B = threshold-and-copy(A, zetas) built DIRECTLY in the factored
+    hybrid layout (bmatrix.threshold_and_copy + to_hybrid semantics fused:
+    same keep rule round(val) >= zeta[word], same doc renumbering and
+    original_cols, same post-threshold top-count head selection, values
+    factored as row_scale = sqrt(zeta); reference
+    src/sparseMatrix.cpp:1285-1435 + the cache-blocking idea of
+    include/matUtils.h:244-268). Returns (HybridSparse, original_cols,
+    frobenius_sq)."""
+    from .bmatrix import _keep_mask, _sample_select
+
+    V, D = A.vocab, A.num_docs
+    zetas = jnp.asarray(zetas, jnp.float32)
+
+    sel = None
+    if sample_rate is not None:
+        assert key is not None
+        keep_d0 = _keep_mask(A.d_word, A.d_val, zetas)
+        sel = _sample_select(
+            A.d_word, A.d_doc, keep_d0, zetas, D, int(sample_rate * D), key
+        )
+    sel_p = (
+        jnp.ones((D + 1,), bool)
+        if sel is None
+        else jnp.concatenate([sel, jnp.zeros((1,), bool)])
+    )
+
+    keep_d, occ, new_doc, frob_sq = _occupancy(
+        A.d_word, A.d_doc, A.d_val, zetas, sel_p, D
+    )
+    nz_docs = int(jnp.sum(occ))
+    original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
+    keep_w = _keep_mask(A.w_word, A.w_val, zetas) & sel_p[A.w_doc]
+
+    num_head = int(
+        min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)))
+    )
+    head_words, is_head, rank = _head_select_masked(
+        A.w_word, keep_w, V, num_head
+    )
+
+    ndp = jnp.concatenate(
+        [new_doc, jnp.full((1,), nz_docs, jnp.int32)]
+    )
+    head, head_nnz = _build_head_masked(
+        A.d_word, A.d_doc, keep_d, is_head, rank, ndp, num_head, nz_docs
+    )
+
+    mask_d = keep_d & ~is_head[A.d_word]
+    mask_w = keep_w & ~is_head[A.w_word]
+    pos_d, padded_d, _ = _pad8_plan(mask_d, ndp[A.d_doc], nz_docs)
+    pos_w, padded_w, _ = _pad8_plan(mask_w, A.w_word, V)
+    Nt = int(jnp.sum(padded_d))
+    Nw = int(jnp.sum(padded_w))
+    Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
+    Nw_pad = max(((Nw + chunk - 1) // chunk) * chunk, chunk)
+
+    td_word, td_odoc = _compact_tail_novals(
+        A.d_word, ndp[A.d_doc], pos_d, Nt_pad, nz_docs, V
+    )
+    tw_doc, tw_oword = _compact_tail_novals(
+        ndp[A.w_doc], A.w_word, pos_w, Nw_pad, V, nz_docs
+    )
+
+    nnz = int(head_nnz) + int(jnp.sum(mask_d.astype(jnp.int32)))
+    h = HybridSparse(
+        head_words=head_words,
+        head=head,
+        td_word=td_word,
+        td_val=None,
+        td_odoc=td_odoc,
+        tw_doc=tw_doc,
+        tw_val=None,
+        tw_oword=tw_oword,
+        row_scale=jnp.sqrt(zetas),
+        vocab=V,
+        num_docs=nz_docs,
+        nnz=nnz,
+        head_nnz=int(head_nnz),
+    )
+    return h, original_cols, float(frob_sq)

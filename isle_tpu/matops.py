@@ -53,11 +53,20 @@ def mat_to_dense(m):
     import numpy as np
 
     if isinstance(m, HybridSparse):
+        from .hybrid import h_to_doc_sparse_vals
+
+        word, docs, val = h_to_doc_sparse_vals(m)
         out = np.zeros((m.vocab + 1, m.num_docs + 1), dtype=np.float32)
-        docs = np.repeat(np.asarray(m.td_odoc), 8)
-        np.add.at(out, (np.asarray(m.td_word), docs), np.asarray(m.td_val))
+        np.add.at(
+            out, (np.asarray(word), np.asarray(docs)), np.asarray(val)
+        )
         out = out[: m.vocab, : m.num_docs]
-        out[np.asarray(m.head_words)] += np.asarray(m.head)
+        head = np.asarray(m.head, np.float32)
+        if m.row_scale is not None:
+            head = head * np.asarray(m.row_scale)[
+                np.asarray(m.head_words)
+            ][:, None]
+        out[np.asarray(m.head_words)] += head
         return out
     from .sparse import to_dense
 

@@ -452,10 +452,13 @@ class StreamedTrainer:
 
         if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
             num_head = min(
-                V, cfg.tpu.dense_head_bytes // max(4 * B.num_docs, 1)
+                V, cfg.tpu.dense_head_bytes // max(2 * B.num_docs, 1)
             )
             if num_head >= 8:
-                B = to_hybrid(B, int(num_head), chunk=cfg.tpu.spmm_chunk)
+                B = to_hybrid(
+                    B, int(num_head), chunk=cfg.tpu.spmm_chunk,
+                    row_scale=jnp.sqrt(zetas),
+                )
         t.timer.next("hybrid layout")
 
         key, sub = jax.random.split(key)

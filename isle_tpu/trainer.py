@@ -35,7 +35,6 @@ from .kmeans import (
     run_lloyds_projected,
 )
 from .linalg import block_ks
-from .hybrid import to_hybrid
 from .matops import mat_b_y, mat_bt_x, mat_gram_x, mat_spmm_flops
 from .obs import Logger, OpCounter, Timer
 from .sparse import DocSparse, frobenius_sq
@@ -207,32 +206,46 @@ class Trainer:
             self._finish_train(A, cluster_of_doc, sizes, k, D, hp, cfg)
             return
 
-        # 2-3. B construction (+ sampling)
+        # 2-3. B construction (+ sampling), directly in the optimized
+        # dense-head/sparse-tail layout when enabled. B's values are all
+        # sqrt(zeta_w) per row (src/sparseMatrix.cpp:1349), so the
+        # factored layout applies: bf16 binary head (2 bytes/cell) +
+        # valueless tail; the fused builder skips the intermediate B COO.
         key, sub = jax.random.split(key)
-        B, original_cols = threshold_and_copy(
-            A,
-            zetas,
-            sample_rate=cfg.sample_rate if cfg.sample_docs else None,
-            key=sub,
-            chunk=cfg.tpu.spmm_chunk,
-        )
-        self.original_cols = original_cols
-        self.logger.info(
-            f"Columns remaining after thresholding: {B.num_docs}  "
-            f"nnz(B): {B.nnz}  Frob(B): {float(jnp.sqrt(frobenius_sq(B))):.4f}"
-        )
-        self.timer.next("creating thresholded and scaled matrix")
+        sample = cfg.sample_rate if cfg.sample_docs else None
+        if cfg.tpu.dense_head_bytes > 0:
+            from .hybrid import hybrid_from_thresholds
 
-        # Optimized dense-head/sparse-tail layout for the hot SpMM paths.
-        if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
-            num_head = min(V, cfg.tpu.dense_head_bytes // max(4 * B.num_docs, 1))
-            if num_head >= 8:
-                B = to_hybrid(B, int(num_head), chunk=cfg.tpu.spmm_chunk)
-                self.logger.diag(
-                    f"hybrid layout: {B.num_head} dense head rows cover "
-                    f"{B.head_nnz / max(B.nnz, 1):.0%} of nnz"
-                )
-                self.timer.next("building hybrid layout")
+            B, original_cols, frob_sq = hybrid_from_thresholds(
+                A,
+                zetas,
+                cfg.tpu.dense_head_bytes,
+                chunk=cfg.tpu.spmm_chunk,
+                sample_rate=sample,
+                key=sub,
+            )
+            self.original_cols = original_cols
+            self.logger.info(
+                f"Columns remaining after thresholding: {B.num_docs}  "
+                f"nnz(B): {B.nnz}  Frob(B): {float(np.sqrt(frob_sq)):.4f}"
+            )
+            self.logger.diag(
+                f"hybrid layout: {B.num_head} dense head rows cover "
+                f"{B.head_nnz / max(B.nnz, 1):.0%} of nnz"
+            )
+            self.timer.next("creating thresholded matrix (fused hybrid)")
+        else:
+            B, original_cols = threshold_and_copy(
+                A, zetas, sample_rate=sample, key=sub,
+                chunk=cfg.tpu.spmm_chunk,
+            )
+            self.original_cols = original_cols
+            self.logger.info(
+                f"Columns remaining after thresholding: {B.num_docs}  "
+                f"nnz(B): {B.nnz}  "
+                f"Frob(B): {float(jnp.sqrt(frobenius_sq(B))):.4f}"
+            )
+            self.timer.next("creating thresholded and scaled matrix")
 
         # 4-5. truncated SVD of B B^T
         key, sub = jax.random.split(key)

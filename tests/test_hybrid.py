@@ -57,3 +57,116 @@ def test_hybrid_all_head():
         np.asarray(h_bt_x(h, X, 128)), np.asarray(bt_x(sp, X)), rtol=2e-5,
         atol=1e-4,
     )
+
+
+def make_row_constant(rng, V, D, density, chunk=512):
+    """Matrix whose row-w nonzeros all equal s[w] (the thresholded-B
+    shape: every entry is sqrt(zeta_w))."""
+    probs = 1.0 / np.arange(1, V + 1)
+    probs /= probs.sum()
+    mask = rng.random((V, D)) < density * probs[:, None] * V
+    w, d = np.nonzero(mask)
+    order = np.lexsort((w, d))
+    w, d = w[order], d[order]
+    s = np.sqrt(rng.integers(1, 9, V)).astype(np.float32)
+    v = s[w]
+    return DocSparse.build(w, d, v, V, D, chunk=chunk), s
+
+
+@pytest.mark.parametrize("seed,num_head", [(0, 8), (1, 1), (2, 25), (3, 60)])
+def test_factored_hybrid_matches_coo(seed, num_head):
+    """Factored layout (bf16 binary head + valueless tail + row_scale)
+    must reproduce the plain COO SpMM on a row-constant matrix."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    V, D, W = 60, 45, 16
+    sp, s = make_row_constant(rng, V, D, 0.3)
+    h = to_hybrid(sp, num_head, chunk=256, row_scale=jnp.asarray(s))
+    assert h.td_val is None and h.tw_val is None
+    assert h.head.dtype == jnp.bfloat16
+
+    X = rng.standard_normal((V, W)).astype(np.float32)
+    Y = rng.standard_normal((D, W)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(h_bt_x(h, X, 256)), np.asarray(bt_x(sp, X)),
+        rtol=2e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_b_y(h, Y, 256)), np.asarray(b_y(sp, Y)),
+        rtol=2e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_gram_x(h, X, 256)), np.asarray(gram_x(sp, X)),
+        rtol=2e-4, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_doc_l2sq(h, 256)), np.asarray(doc_l2sq(sp)),
+        rtol=2e-5, atol=1e-4,
+    )
+
+
+def test_factored_hybrid_to_dense_roundtrip():
+    import jax.numpy as jnp
+
+    from isle_tpu.matops import mat_to_dense
+    from isle_tpu.sparse import to_dense
+
+    rng = np.random.default_rng(7)
+    V, D = 40, 30
+    sp, s = make_row_constant(rng, V, D, 0.3, chunk=256)
+    h = to_hybrid(sp, 10, chunk=256, row_scale=jnp.asarray(s))
+    np.testing.assert_allclose(
+        mat_to_dense(h), to_dense(sp), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_fused_builder_matches_unfused():
+    """hybrid_from_thresholds == threshold_and_copy -> to_hybrid(factored)
+    on the same input (same original_cols, head selection, dense form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from isle_tpu.bmatrix import threshold_and_copy
+    from isle_tpu.hybrid import hybrid_from_thresholds
+    from isle_tpu.matops import mat_to_dense
+
+    rng = np.random.default_rng(11)
+    V, D = 70, 90
+    mask = rng.random((V, D)) < 0.3
+    w, d = np.nonzero(mask)
+    order = np.lexsort((w, d))
+    w, d = w[order], d[order]
+    v = rng.integers(1, 7, len(w)).astype(np.float32)
+    sp = DocSparse.build(w, d, v, V, D, chunk=512)
+    zetas = jnp.asarray(rng.integers(1, 4, V).astype(np.float32))
+
+    B_ref, oc_ref = threshold_and_copy(sp, zetas, chunk=512)
+    h_ref = to_hybrid(B_ref, 12, chunk=512, row_scale=jnp.sqrt(zetas))
+    # budget chosen so the fused builder picks the same 12 head rows
+    budget = 12 * 2 * B_ref.num_docs
+    h, oc, frob = hybrid_from_thresholds(sp, zetas, budget, chunk=512)
+    np.testing.assert_array_equal(oc, oc_ref)
+    assert h.num_head == h_ref.num_head
+    np.testing.assert_array_equal(
+        np.asarray(h.head_words), np.asarray(h_ref.head_words)
+    )
+    assert h.nnz == B_ref.nnz and h.head_nnz == h_ref.head_nnz
+    np.testing.assert_allclose(
+        mat_to_dense(h), mat_to_dense(h_ref), rtol=1e-6, atol=1e-6
+    )
+    from isle_tpu.sparse import frobenius_sq
+
+    np.testing.assert_allclose(frob, float(frobenius_sq(B_ref)), rtol=1e-4)
+
+    # sampled variant agrees too (same key => same pivot race)
+    key = jax.random.PRNGKey(3)
+    Bs, ocs = threshold_and_copy(sp, zetas, sample_rate=0.5, key=key, chunk=512)
+    hs, ocs2, _ = hybrid_from_thresholds(
+        sp, zetas, budget, chunk=512, sample_rate=0.5, key=key
+    )
+    np.testing.assert_array_equal(ocs, ocs2)
+    hs_ref = to_hybrid(Bs, hs.num_head, chunk=512, row_scale=jnp.sqrt(zetas))
+    np.testing.assert_allclose(
+        mat_to_dense(hs), mat_to_dense(hs_ref), rtol=1e-6, atol=1e-6
+    )
