@@ -66,9 +66,16 @@ def main(argv=None) -> int:
     trainer.train()
     trainer.output_cluster_summary()
     trainer.write_model_to_file()
+    # Doc-topic artifacts: the reference has these writers behind
+    # commented/flag-gated call sites (src/trainer.cpp:663-666, :697-698);
+    # they are cheap here, so a run directory is a superset of the
+    # reference's.
+    trainer.output_doc_topic()
+    trainer.output_topic_diversity()
     if cfg.compute_edge_topics:
         trainer.train_edge_topics()
         trainer.write_edgemodel_to_file()
+        trainer.print_top_two_topics()
     trainer.timer.report_total("ISLETrain")
     print(f"Model written to {trainer.run_dir}")
     return 0

@@ -39,6 +39,19 @@ from .sparse import DocSparse
 HI = jax.lax.Precision.HIGHEST
 DEFAULT_CHUNK = 1 << 21
 
+# Head scatters use FLAT 1D indices (r * ncols + c): XLA's 2D scatter
+# materializes an (nnz, 2) index operand that, at some shapes, is assigned
+# a tiled T(8,128) layout padding the minor dim 2 -> 128 (24.7 GB at 48M
+# entries — observed compile-time HBM OOM on v5e). The flat form keeps the
+# index operand 1D. Requires (rows+1)*(cols+1) < 2^31; callers clamp the
+# head size with `max_head_rows`.
+_INT32_FLAT_CAP = (1 << 31) - (1 << 20)
+
+
+def max_head_rows(num_docs: int) -> int:
+    """Largest head row count whose flat scatter index stays in int32."""
+    return max(_INT32_FLAT_CAP // (num_docs + 1) - 1, 8)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -125,8 +138,10 @@ def _build_head(sp: DocSparse, rank, is_head, num_head: int, num_docs: int):
     hmask = is_head[sp.d_word]
     rr = jnp.where(hmask, r, num_head)
     dd = jnp.where(hmask, sp.d_doc, num_docs)
-    H = jnp.zeros((num_head + 1, num_docs + 1), jnp.float32)
-    H = H.at[rr, dd].add(sp.d_val)
+    flat = rr * jnp.int32(num_docs + 1) + dd
+    H = jnp.zeros(((num_head + 1) * (num_docs + 1),), jnp.float32)
+    H = H.at[flat].add(sp.d_val)
+    H = H.reshape(num_head + 1, num_docs + 1)
     return H[:num_head, :num_docs], hmask.sum()
 
 
@@ -138,8 +153,10 @@ def _build_head_binary(sp: DocSparse, rank, is_head, num_head: int, num_docs: in
     hmask = is_head[sp.d_word]
     rr = jnp.where(hmask, r, num_head)
     dd = jnp.where(hmask, sp.d_doc, num_docs)
-    H = jnp.zeros((num_head + 1, num_docs + 1), jnp.bfloat16)
-    H = H.at[rr, dd].set(jnp.bfloat16(1.0))
+    flat = rr * jnp.int32(num_docs + 1) + dd
+    H = jnp.zeros(((num_head + 1) * (num_docs + 1),), jnp.bfloat16)
+    H = H.at[flat].set(jnp.bfloat16(1.0))
+    H = H.reshape(num_head + 1, num_docs + 1)
     return H[:num_head, :num_docs], hmask.sum()
 
 
@@ -192,7 +209,7 @@ def to_hybrid(
     binary head, no tail value arrays (see HybridSparse docstring). The
     caller guarantees sp's nonzeros satisfy val == row_scale[word]."""
     V, D = sp.vocab, sp.num_docs
-    num_head = int(min(num_head, V))
+    num_head = int(min(num_head, V, max_head_rows(D)))
     head_words, is_head, rank = _head_select(sp, num_head)
 
     if row_scale is None:
@@ -448,8 +465,10 @@ def _build_head_masked(
     hmask = keep & is_head[word]
     rr = jnp.where(hmask, rank[word], num_head)
     dd = jnp.where(hmask, ndp[doc], nz_docs)
-    H = jnp.zeros((num_head + 1, nz_docs + 1), jnp.bfloat16)
-    H = H.at[rr, dd].set(jnp.bfloat16(1.0))
+    flat = rr * jnp.int32(nz_docs + 1) + dd
+    H = jnp.zeros(((num_head + 1) * (nz_docs + 1),), jnp.bfloat16)
+    H = H.at[flat].set(jnp.bfloat16(1.0))
+    H = H.reshape(num_head + 1, nz_docs + 1)
     return H[:num_head, :nz_docs], hmask.sum()
 
 
@@ -495,7 +514,11 @@ def hybrid_from_thresholds(
     keep_w = _keep_mask(A.w_word, A.w_val, zetas) & sel_p[A.w_doc]
 
     num_head = int(
-        min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)))
+        min(
+            V,
+            max(8, head_budget_bytes // max(2 * nz_docs, 1)),
+            max_head_rows(nz_docs),
+        )
     )
     head_words, is_head, rank = _head_select_masked(
         A.w_word, keep_w, V, num_head

@@ -791,10 +791,11 @@ def sharded_doc_topic_mass(
         is_cw = t >= 0
         ddd = jnp.where(is_cw, dd[0], dps)
         tt = jnp.maximum(t, 0)
-        acc = jnp.zeros((dps + 1, k), jnp.float32).at[ddd, tt].add(
-            jnp.where(is_cw, dv[0], 0.0)
-        )
-        return acc[None, :dps]
+        # flat scatter index (see hybrid.py on 2D-scatter index layouts)
+        acc = jnp.zeros(((dps + 1) * k,), jnp.float32).at[
+            ddd * jnp.int32(k) + tt
+        ].add(jnp.where(is_cw, dv[0], 0.0))
+        return acc.reshape(dps + 1, k)[None, :dps]
 
     return jax.shard_map(
         f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),), out_specs=P(AXIS)

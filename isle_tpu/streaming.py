@@ -267,12 +267,17 @@ def streamed_filter_clustered(
 
 
 @partial(jax.jit, static_argnames=("k", "num_docs"), donate_argnums=(0,))
-def _mass_accum(mass, words, vals, docs, cwt, k: int, num_docs: int):
+def _mass_accum(mass_flat, words, vals, docs, cwt, k: int, num_docs: int):
+    """Accumulate into a FLAT ((D+1)*k,) mass carry — a 2D scatter's
+    (nnz, 2) index operand can draw a tiled layout that pads 2 -> 128
+    lanes (see hybrid.py); the flat index keeps it 1D."""
     t = cwt[words]
     is_cw = t >= 0
     dd = jnp.where(is_cw, docs, num_docs)
     tt = jnp.maximum(t, 0)
-    return mass.at[dd, tt].add(jnp.where(is_cw, vals, 0.0))
+    return mass_flat.at[dd * jnp.int32(k) + tt].add(
+        jnp.where(is_cw, vals, 0.0)
+    )
 
 
 @partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
@@ -296,7 +301,7 @@ def streamed_topic_model(
 
     D, V, k = corpus.num_docs, corpus.vocab_size, num_topics
     cwt = jnp.asarray(np.concatenate([cw_topic.astype(np.int32), [-1]]))
-    mass = jnp.zeros((D + 1, k), jnp.float32)
+    mass = jnp.zeros(((D + 1) * k,), jnp.float32)
     chunks = list(doc_chunks(corpus, chunk_entries))
 
     def load(lo, hi):
@@ -315,7 +320,7 @@ def streamed_topic_model(
     for lo, hi in chunks:
         w, v, d = load(lo, hi)
         mass = _mass_accum(mass, w, v, d, cwt, k, D)
-    mass = mass[:D]
+    mass = mass.reshape(D + 1, k)[:D]
 
     has_cw = jax.ops.segment_sum(
         (jnp.asarray(cw_topic) >= 0).astype(jnp.int32),

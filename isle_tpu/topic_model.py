@@ -56,6 +56,8 @@ def doc_topic_mass(
     docs = A.d_doc.reshape(n, chunk)
     vals = A.d_val.reshape(n, chunk)
 
+    # Flat scatter carry (see hybrid.py on 2D-scatter index layouts);
+    # (D+1)*k stays well inside int32 for any k the pipeline uses.
     def body(acc, args):
         w, d, v = args
         t = cwt[w]
@@ -63,13 +65,13 @@ def doc_topic_mass(
         # Non-catchword entries go to the spill row D with topic 0.
         dd = jnp.where(is_cw, d, D)
         tt = jnp.maximum(t, 0)
-        acc = acc.at[dd, tt].add(jnp.where(is_cw, v, 0.0))
+        acc = acc.at[dd * jnp.int32(k) + tt].add(jnp.where(is_cw, v, 0.0))
         return acc, None
 
     out, _ = jax.lax.scan(
-        body, jnp.zeros((D + 1, k), jnp.float32), (words, docs, vals)
+        body, jnp.zeros(((D + 1) * k,), jnp.float32), (words, docs, vals)
     )
-    return out[:D]
+    return out.reshape(D + 1, k)[:D]
 
 
 @partial(jax.jit, static_argnames=("rank_threshold",))
