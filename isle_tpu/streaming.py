@@ -36,6 +36,118 @@ from .sparse import DocSparse
 from .thresholds import freq_bound, _zeta_from_hist
 
 
+@partial(jax.jit, static_argnames=("vocab", "num_docs", "n_pad", "max_docs"))
+def _rebuild_chunk(
+    words, counts, local_offsets, cnt, lo, doc_sums, avg,
+    vocab: int, num_docs: int, n_pad: int, max_docs: int,
+):
+    """Device-side reconstruction of (w, v, d) from the compact chunk
+    upload (words + raw counts + per-chunk offsets): doc ids via the
+    +1-marker cumsum (as sparse._device_build) and normalized values
+    avg * (count / doc_sum) recomputed in f32 — the same expression, in
+    the same order, as Corpus.from_entries. Pads: word=vocab, val=0,
+    doc=num_docs."""
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    marks = jnp.zeros((n_pad,), jnp.int32).at[local_offsets[1:]].add(
+        1, mode="drop"
+    )
+    d = jnp.minimum(lo + jnp.cumsum(marks), num_docs)
+    d = jnp.where(pos < cnt, d, num_docs)
+    w = jnp.where(pos < cnt, words, vocab)
+    c = counts.astype(jnp.float32)
+    ds = jnp.concatenate([doc_sums, jnp.ones((1,), jnp.float32)])
+    v = jnp.where(w < vocab, avg * (c / ds[d]), 0.0)
+    return w, v, d
+
+
+def make_chunk_loader(corpus: Corpus, chunk_entries: int):
+    """Shared streamed-chunk loader: load(lo, hi) -> (w, v, d) device
+    arrays padded to chunk_entries.
+
+    The tunnel to the chip is the streamed pipeline's bottleneck
+    (~17 MB/s), so the upload is words:int32 + raw counts in the smallest
+    dtype + per-chunk int32 offsets (~5 B/entry instead of the 12 B/entry
+    of materialized w/v/d) with doc ids and normalized values rebuilt on
+    device. Falls back to the fat upload when raw counts are unavailable."""
+    D, V = corpus.num_docs, corpus.vocab_size
+    n_pad = chunk_entries
+
+    def load_fat(lo, hi):
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
+                               (0, n_pad - (b - a)), constant_values=V))
+        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
+        d = jnp.asarray(np.pad(
+            np.repeat(np.arange(lo, hi, dtype=np.int32),
+                      np.diff(corpus.offsets[lo:hi + 1]).astype(np.int64)),
+            (0, n_pad - (b - a)), constant_values=D,
+        ))
+        return w, v, d
+
+    if corpus.counts is None:
+        return load_fat
+
+    cmax = float(corpus.counts.max()) if corpus.nnz else 0.0
+    cdtype = (
+        np.uint8 if cmax < 256 else np.uint16 if cmax < 65536 else np.int32
+    )
+    lengths = np.diff(corpus.offsets)
+    doc_sums_h = np.ones(D, np.float32)
+    if corpus.nnz:
+        ds = np.add.reduceat(
+            corpus.counts.astype(np.float32),
+            np.minimum(corpus.offsets[:-1], corpus.nnz - 1),
+        )
+        ds[lengths == 0] = 1.0
+        doc_sums_h[:] = ds
+    avg = np.float32(corpus.avg_doc_sz)
+    # The rebuild assumes the training normalization avg*(count/doc_sum);
+    # verify on a sample and fall back to shipping materialized values if
+    # the corpus was normalized differently (e.g. to unit mass).
+    if corpus.nnz:
+        idx = np.unique(np.linspace(
+            0, corpus.nnz - 1, num=min(1024, corpus.nnz)
+        ).astype(np.int64))
+        dix = np.searchsorted(corpus.offsets, idx, side="right") - 1
+        expect = avg * (
+            corpus.counts[idx].astype(np.float32) / doc_sums_h[dix]
+        )
+        if not np.array_equal(
+            expect.astype(np.float32), corpus.vals[idx].astype(np.float32)
+        ):
+            return load_fat
+    doc_sums = jnp.asarray(doc_sums_h)  # one (D,) upload, reused per chunk
+    # static padded per-chunk doc capacity (offsets pad with the entry
+    # count, which lands the extra markers at the pad boundary)
+    max_docs = 1
+    lo = 0
+    while lo < D:
+        hi = int(np.searchsorted(
+            corpus.offsets, corpus.offsets[lo] + chunk_entries, side="right"
+        ) - 1)
+        hi = max(min(hi, D), lo + 1)
+        max_docs = max(max_docs, hi - lo)
+        lo = hi
+
+    def load(lo, hi):
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        cnt = int(b - a)
+        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
+                               (0, n_pad - cnt)))
+        c = jnp.asarray(np.pad(corpus.counts[a:b].astype(cdtype),
+                               (0, n_pad - cnt)))
+        off = jnp.asarray(np.pad(
+            (corpus.offsets[lo:hi + 1] - a).astype(np.int32),
+            (0, max_docs - (hi - lo)), constant_values=cnt,
+        ))
+        return _rebuild_chunk(
+            w, c, off, jnp.int32(cnt), jnp.int32(lo), doc_sums, avg,
+            V, D, n_pad, max_docs + 1,
+        )
+
+    return load
+
+
 def doc_chunks(corpus: Corpus, target_entries: int) -> Iterator[Tuple[int, int]]:
     """Yield (doc_lo, doc_hi) ranges of ~target_entries nnz each."""
     D = corpus.num_docs
@@ -91,15 +203,9 @@ def streamed_thresholds(
     F = freq_bound(corpus.avg_doc_sz)
     nbanks = (F + 1 + 127) // 128
     hist = jnp.zeros(((V + 1) * nbanks, 128), jnp.float32)
-    n_pad = chunk_entries
+    load = make_chunk_loader(corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
-        a, b = corpus.offsets[lo], corpus.offsets[hi]
-        assert b - a <= n_pad
-        w = jnp.asarray(
-            np.pad(corpus.rows[a:b].astype(np.int32), (0, n_pad - (b - a)),
-                   constant_values=V)
-        )
-        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
+        w, v, _ = load(lo, hi)
         hist = _hist_accum(hist, w, v, F)
     h = hist.reshape(V + 1, nbanks * 128)[:V, : F + 1].astype(jnp.int32)
     h = h.at[:, 0].set(0)
@@ -129,17 +235,9 @@ def streamed_doc_weights(
     src/sparseMatrix.cpp:1383-1397)."""
     D, V = corpus.num_docs, corpus.vocab_size
     weights = jnp.zeros((D + 1,), jnp.float32)
+    load = make_chunk_loader(corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
-        a, b = corpus.offsets[lo], corpus.offsets[hi]
-        n_pad = chunk_entries
-        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
-                               (0, n_pad - (b - a)), constant_values=V))
-        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
-        d = jnp.asarray(np.pad(
-            np.repeat(np.arange(lo, hi, dtype=np.int32),
-                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
-            (0, n_pad - (b - a)), constant_values=D,
-        ))
+        w, v, d = load(lo, hi)
         weights = _weight_accum(weights, w, v, d, zetas, D)
     return weights[:D]
 
@@ -172,17 +270,10 @@ def streamed_build_b(
     )
     parts_w, parts_v, parts_d = [], [], []
     total = 0
+    load = make_chunk_loader(corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
-        a, b = corpus.offsets[lo], corpus.offsets[hi]
         n_pad = chunk_entries
-        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
-                               (0, n_pad - (b - a)), constant_values=V))
-        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
-        d = jnp.asarray(np.pad(
-            np.repeat(np.arange(lo, hi, dtype=np.int32),
-                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
-            (0, n_pad - (b - a)), constant_values=D,
-        ))
+        w, v, d = load(lo, hi)
         keep = (jnp.floor(v + 0.5) >= zline[w]) & (w < V)
         if sel is not None:
             keep = keep & sel[d]
@@ -235,17 +326,10 @@ def streamed_filter_clustered(
     )
     parts = []
     total = 0
+    load = make_chunk_loader(corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
-        a, b = corpus.offsets[lo], corpus.offsets[hi]
         n_pad = chunk_entries
-        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
-                               (0, n_pad - (b - a)), constant_values=V))
-        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
-        d = jnp.asarray(np.pad(
-            np.repeat(np.arange(lo, hi, dtype=np.int32),
-                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
-            (0, n_pad - (b - a)), constant_values=D,
-        ))
+        w, v, d = load(lo, hi)
         keep = (cl[d] >= 0) & (w < V)
         kw, kv, kd, cnt = _chunk_compact(w, v, d, keep, n_pad)
         cnt = int(cnt)
@@ -303,19 +387,7 @@ def streamed_topic_model(
     cwt = jnp.asarray(np.concatenate([cw_topic.astype(np.int32), [-1]]))
     mass = jnp.zeros(((D + 1) * k,), jnp.float32)
     chunks = list(doc_chunks(corpus, chunk_entries))
-
-    def load(lo, hi):
-        a, b = corpus.offsets[lo], corpus.offsets[hi]
-        n_pad = chunk_entries
-        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
-                               (0, n_pad - (b - a)), constant_values=V))
-        v = jnp.asarray(np.pad(corpus.vals[a:b], (0, n_pad - (b - a))))
-        d = jnp.asarray(np.pad(
-            np.repeat(np.arange(lo, hi, dtype=np.int32),
-                      np.diff(corpus.offsets[lo : hi + 1]).astype(np.int64)),
-            (0, n_pad - (b - a)), constant_values=D,
-        ))
-        return w, v, d
+    load = make_chunk_loader(corpus, chunk_entries)
 
     for lo, hi in chunks:
         w, v, d = load(lo, hi)
