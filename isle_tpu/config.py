@@ -119,8 +119,15 @@ class TpuConfig:
     # (benchmarks/micro_head2.py), so the head should be as large as HBM
     # allows; the factored layout stores it at 2 bytes/cell (bf16 binary).
     dense_head_bytes: int = 4096 << 20
-    # Use Pallas kernels where available (else pure-XLA fallbacks).
-    use_pallas: bool = True
+    # NOTE on Pallas: there deliberately is no Pallas kernel knob. The
+    # pipeline's hot FLOPs run as MXU matmuls via the hybrid dense-head
+    # layout (measured 1.16 TFLOP/s on the SVD operator, BENCH_NOTES.md),
+    # where a hand kernel has no edge over XLA; the remaining tail is
+    # bound by the chip's random-row HBM access rate (~157 Mrows/s via
+    # XLA gather), which a Pallas per-row DMA loop cannot beat — DMA
+    # descriptor issue is scalar-core bound at ~30 cycles/row (~31
+    # Mrows/s), and the gather source (vocab x 128 f32 ~ 52 MB) exceeds
+    # the 16 MB VMEM so tiling multiplies index passes. See TODO.md.
     # Run the eigensolver's restart loop on-device in one lax.while_loop
     # (no per-restart host syncs); False uses the host-driven loop with
     # per-restart diagnostics.
