@@ -128,6 +128,43 @@ def test_native_sort_dedup_matches_numpy():
     np.testing.assert_array_equal(nc, cs[keep])
 
 
+def test_native_sort_dedup_edge_cases():
+    """Adversarial patterns for the radix path: empty, singleton,
+    all-equal keys (keep-first count), reverse-sorted, and ids near the
+    int32 ceiling (exercises the high key bits)."""
+    e = np.array([], np.int64)
+    nd, nw, nc = native.sort_dedup_entries(e.copy(), e.copy(), e.copy())
+    assert len(nd) == 0
+
+    one = np.array([7], np.int64)
+    nd, nw, nc = native.sort_dedup_entries(one.copy(), one.copy(), one.copy())
+    assert list(nd) == [7] and list(nc) == [7]
+
+    n = 1000
+    d = np.full(n, 42, np.int64)
+    w = np.full(n, 13, np.int64)
+    c = np.arange(n, dtype=np.int64) + 1
+    nd, nw, nc = native.sort_dedup_entries(d.copy(), w.copy(), c.copy())
+    assert list(nd) == [42] and list(nw) == [13]
+    assert list(nc) == [1]  # keep-FIRST occurrence
+
+    big = (1 << 31) - 1
+    d = np.arange(n, dtype=np.int64)[::-1] + (big - n)
+    w = np.arange(n, dtype=np.int64)[::-1] % (big - 5) + 5
+    c = np.arange(n, dtype=np.int64) + 1
+    nd, nw, nc = native.sort_dedup_entries(d.copy(), w.copy(), c.copy())
+    order = np.lexsort((w, d))
+    np.testing.assert_array_equal(nd, d[order])
+    np.testing.assert_array_equal(nw, w[order])
+    np.testing.assert_array_equal(nc, c[order])
+
+    # order_by: stability among equal (major, minor) pairs
+    maj = np.zeros(64, np.int32)
+    mi = np.zeros(64, np.int32)
+    perm = native.order_by(maj, mi)
+    np.testing.assert_array_equal(perm, np.arange(64))
+
+
 def _loop_coherence(corpus, model, num_words, eps=1e-5):
     """The pre-vectorization per-pair implementation, kept as the oracle
     (reference loop semantics, src/sparseMatrix.cpp:841-1015)."""
