@@ -53,7 +53,8 @@ def _sample_select(
     Returns a boolean per-doc selection mask."""
     z = jnp.concatenate([zetas, jnp.zeros((1,), zetas.dtype)])
     w = jax.ops.segment_sum(
-        jnp.where(keep, z[word], 0.0), doc, num_segments=num_docs + 1
+        jnp.where(keep, z[word], 0.0), doc, num_segments=num_docs + 1,
+        indices_are_sorted=True,
     )[:num_docs]
     u = jax.random.uniform(key, (num_docs,), dtype=jnp.float32)
     dice = jnp.where(w > 0.0, jnp.power(u, 1.0 / jnp.maximum(w, 1e-30)), 0.0)
@@ -106,7 +107,8 @@ def threshold_and_copy(
     # Document occupancy -> renumbering (prefix sum) and original_cols.
     occ = (
         jax.ops.segment_sum(
-            keep_d.astype(jnp.int32), A.d_doc, num_segments=D + 1
+            keep_d.astype(jnp.int32), A.d_doc, num_segments=D + 1,
+            indices_are_sorted=True,
         )[:D]
         > 0
     )

@@ -99,9 +99,9 @@ def _pad8_plan(mask: jax.Array, seg: jax.Array, num_segments: int):
     """Positions for compaction of masked entries into per-segment blocks
     padded to multiples of 8. Returns (pos, padded_counts)."""
     m = mask.astype(jnp.int32)
-    counts = jax.ops.segment_sum(m, seg, num_segments=num_segments + 1)[
-        :num_segments
-    ]
+    counts = jax.ops.segment_sum(
+        m, seg, num_segments=num_segments + 1, indices_are_sorted=True
+    )[:num_segments]
     padded = ((counts + 7) // 8) * 8
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
@@ -121,7 +121,8 @@ def _pad8_plan(mask: jax.Array, seg: jax.Array, num_segments: int):
 def _head_select(sp: DocSparse, num_head: int):
     V = sp.vocab
     counts = jax.ops.segment_sum(
-        (sp.w_word < V).astype(jnp.int32), sp.w_word, num_segments=V + 1
+        (sp.w_word < V).astype(jnp.int32), sp.w_word, num_segments=V + 1,
+        indices_are_sorted=True,
     )[:V]
     _, head_words = jax.lax.top_k(counts, num_head)
     head_words = jnp.sort(head_words).astype(jnp.int32)
@@ -429,7 +430,8 @@ def _occupancy(word, doc, val, zetas, sel_p, num_docs: int):
     keep = _keep_mask(word, val, zetas) & sel_p[doc]
     occ = (
         jax.ops.segment_sum(
-            keep.astype(jnp.int32), doc, num_segments=num_docs + 1
+            keep.astype(jnp.int32), doc, num_segments=num_docs + 1,
+            indices_are_sorted=True,
         )[:num_docs]
         > 0
     )
@@ -447,7 +449,8 @@ def _occupancy(word, doc, val, zetas, sel_p, num_docs: int):
 @partial(jax.jit, static_argnames=("vocab", "num_head"))
 def _head_select_masked(w_word, keep_w, vocab: int, num_head: int):
     counts = jax.ops.segment_sum(
-        keep_w.astype(jnp.int32), w_word, num_segments=vocab + 1
+        keep_w.astype(jnp.int32), w_word, num_segments=vocab + 1,
+        indices_are_sorted=True,
     )[:vocab]
     _, head_words = jax.lax.top_k(counts, num_head)
     head_words = jnp.sort(head_words).astype(jnp.int32)

@@ -366,8 +366,31 @@ def _mass_accum(mass_flat, words, vals, docs, cwt, k: int, num_docs: int):
 
 @partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
 def _model_accum(model, words, vals, docs, W, k: int):
-    rows = jnp.take(W, docs, axis=0, fill_value=0.0) * vals[:, None]
-    return model.at[words].add(rows)
+    """Scatter W-row contributions into the model, sub-chunked: gathering
+    a whole 2^25-entry streamed chunk at once materializes a
+    (chunk, k) f32 intermediate (16 GB at PubMed scale) — scan in 2^21
+    pieces instead."""
+    n = words.shape[0]
+    sub = min(1 << 21, n)
+    while n % sub:
+        sub //= 2
+    nchunks = n // sub
+
+    def body(m, args):
+        w_, v_, d_ = args
+        rows = jnp.take(W, d_, axis=0, fill_value=0.0) * v_[:, None]
+        return m.at[w_].add(rows), None
+
+    m, _ = jax.lax.scan(
+        body,
+        model,
+        (
+            words.reshape(nchunks, sub),
+            vals.reshape(nchunks, sub),
+            docs.reshape(nchunks, sub),
+        ),
+    )
+    return m
 
 
 def streamed_topic_model(

@@ -82,9 +82,19 @@ def model_thresholds(mass: jax.Array, has_catchwords: jax.Array, rank_threshold:
     pos_counts = jnp.sum(mass > 0.0, axis=0)  # (k,)
     if rank_threshold <= 0 or rank_threshold > D:
         thr = jnp.zeros((k,), jnp.float32)
-    else:
+    elif D * k <= (1 << 27):
         svals = -jnp.sort(-mass, axis=0)  # descending per column
         thr = svals[rank_threshold - 1]
+        thr = jnp.where(pos_counts >= rank_threshold, thr, 0.0)
+    else:
+        # Large D (PubMed: 8.2M docs): an axis-0 sort of (D, k) pads every
+        # column to the sort's power-of-two scratch at once and exhausts
+        # HBM; select the rank statistic one topic at a time instead.
+        def col_thr(col):
+            s = -jnp.sort(-col)
+            return s[rank_threshold - 1]
+
+        thr = jax.lax.map(col_thr, mass.T)
         thr = jnp.where(pos_counts >= rank_threshold, thr, 0.0)
     return jnp.where(has_catchwords, thr, 0.0)
 
@@ -96,7 +106,10 @@ def top_two_topics(mass: jax.Array):
     D, k = mass.shape
     v1 = jnp.max(mass, axis=1)
     t1 = jnp.argmax(mass, axis=1)
-    masked = mass.at[jnp.arange(D), t1].set(-jnp.inf)
+    # Elementwise mask of the winner column (a (D,2)-indexed scatter here
+    # would materialize a tiled (D, 2) index operand; see hybrid.py).
+    cols = jnp.arange(k, dtype=t1.dtype)[None, :]
+    masked = jnp.where(cols == t1[:, None], -jnp.inf, mass)
     v2 = jnp.max(masked, axis=1)
     t2 = jnp.argmax(masked, axis=1)
     valid = (v1 > 0.0) & (v2 > 0.0)
