@@ -98,7 +98,6 @@ def banked_hist(
     num_rows: int,
     F: int,
     chunk: int = 1 << 20,
-    sorted_rows: bool = False,
 ) -> jax.Array:
     """(num_rows, F+1) float32 histogram of integer values r in [0, F]
     keyed by `words`, as chunked 128-wide one-hot scatters.
@@ -118,27 +117,11 @@ def banked_hist(
         chunk //= 2
     nchunks = n // chunk
 
-    if sorted_rows:
-        # Word-sorted input: rows are monotone in w, but the bank index
-        # r//128 interleaves within a word's run, so a combined
-        # w*nbanks+bank row is NOT sorted. Scatter once per bank with the
-        # off-bank lanes zeroed — each pass has sorted row indices.
-        def body(acc, args):
-            w, rr = args
-            g = jax.nn.one_hot(rr % 128, 128, dtype=jnp.float32)
-            bank = rr // 128
-            for b in range(nbanks):
-                gb = jnp.where((bank == b)[:, None], g, 0.0)
-                acc = acc.at[w * nbanks + b].add(
-                    gb, indices_are_sorted=True
-                )
-            return acc, None
-    else:
-        def body(acc, args):
-            w, rr = args
-            row = w * nbanks + rr // 128
-            g = jax.nn.one_hot(rr % 128, 128, dtype=jnp.float32)
-            return acc.at[row].add(g), None
+    def body(acc, args):
+        w, rr = args
+        row = w * nbanks + rr // 128
+        g = jax.nn.one_hot(rr % 128, 128, dtype=jnp.float32)
+        return acc.at[row].add(g), None
 
     hist_f, _ = jax.lax.scan(
         body,
@@ -150,9 +133,7 @@ def banked_hist(
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "vocab_size", "F", "count_gr", "count_eq", "chunk", "sorted_rows"
-    ),
+    static_argnames=("vocab_size", "F", "count_gr", "count_eq", "chunk"),
 )
 def _compute_thresholds_jax(
     words: jax.Array,
@@ -162,12 +143,11 @@ def _compute_thresholds_jax(
     count_gr: int,
     count_eq: int,
     chunk: int = 1 << 20,
-    sorted_rows: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     r_all = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
-    hist = banked_hist(
-        words, r_all, vocab_size + 1, F, chunk, sorted_rows=sorted_rows
-    )[:vocab_size].astype(jnp.int32)
+    hist = banked_hist(words, r_all, vocab_size + 1, F, chunk)[
+        :vocab_size
+    ].astype(jnp.int32)
     hist = hist.at[:, 0].set(0)
     zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, jnp)
     return zeta.astype(jnp.float32), nnz_w.sum()
@@ -181,13 +161,9 @@ def compute_thresholds_jax(
     nz_docs: int,
     num_topics: int,
     hyper,
-    sorted_rows: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device ζ computation. `words` may include padded entries with id ==
-    vocab_size (their values are ignored via a spill histogram row).
-    The histogram is entry-order-invariant, so callers holding the
-    word-sorted copy should pass it with sorted_rows=True (sorted scatter
-    rows; see banked_hist)."""
+    vocab_size (their values are ignored via a spill histogram row)."""
     return _compute_thresholds_jax(
         words,
         vals,
@@ -195,5 +171,4 @@ def compute_thresholds_jax(
         freq_bound(avg_doc_sz),
         hyper.count_gr(nz_docs, num_topics),
         hyper.count_eq(nz_docs, num_topics),
-        sorted_rows=sorted_rows,
     )

@@ -181,14 +181,13 @@ class Trainer:
             self.logger.info("resumed thresholds from 'svd' checkpoint")
         else:
             zetas, new_nnz = compute_thresholds_jax(
-                A.w_word,
-                A.w_val,
+                A.d_word,
+                A.d_val,
                 V,
                 self.corpus.avg_doc_sz,
                 self.corpus.nz_docs,
                 k,
                 hp,
-                sorted_rows=True,
             )
             self.logger.info(f"Entries above threshold: {int(new_nnz)}")
             self.timer.next("computing thresholds")

@@ -48,35 +48,6 @@ def test_matches_literal(seed, k):
     np.testing.assert_array_equal(np.asarray(z_j), z_ref)
     assert int(nnz_j) == nnz_ref
 
-    # sorted-rows fast path (word-sorted input, per-bank sorted scatters)
-    order = np.argsort(words, kind="stable")
-    z_s, nnz_s = compute_thresholds_jax(
-        words[order], vals[order], vocab, avg_doc_sz, nz_docs, k, hp,
-        sorted_rows=True,
-    )
-    np.testing.assert_array_equal(np.asarray(z_s), z_ref)
-    assert int(nnz_s) == nnz_ref
-
-
-def test_sorted_rows_multibank():
-    """sorted_rows with F+1 > 128 (multiple value banks interleaving
-    within a word's run — the case the per-bank masked scatters exist
-    for)."""
-    rng = np.random.default_rng(11)
-    vocab, n, k = 53, 6000, 4
-    nz_docs, avg_doc_sz = 400, 200.0  # F = 201 -> 2 banks
-    words = np.sort(rng.integers(0, vocab, n).astype(np.int32))
-    vals = (rng.random(n).astype(np.float32) * avg_doc_sz).astype(np.float32)
-    hp = HyperParams()
-    z_ref, nnz_ref = thresholds_literal(
-        words, vals, vocab, hp.count_gr(nz_docs, k), hp.count_eq(nz_docs, k)
-    )
-    z_s, nnz_s = compute_thresholds_jax(
-        words, vals, vocab, avg_doc_sz, nz_docs, k, hp, sorted_rows=True
-    )
-    np.testing.assert_array_equal(np.asarray(z_s), z_ref)
-    assert int(nnz_s) == nnz_ref
-
 
 def test_absent_and_rare_words():
     hp = HyperParams()
