@@ -97,23 +97,29 @@ class HybridSparse:
 
 def _pad8_plan(mask: jax.Array, seg: jax.Array, num_segments: int):
     """Positions for compaction of masked entries into per-segment blocks
-    padded to multiples of 8. Returns (pos, padded_counts)."""
+    padded to multiples of 8. Returns (pos, padded_counts, offsets).
+
+    REQUIRES seg non-decreasing (every caller holds a sorted copy; spill
+    entries carry seg == num_segments and mask == False). Sortedness lets
+    per-segment counts come from the kept-prefix sums sampled at segment
+    boundaries (one binary search) instead of a 48M-scalar segment_sum
+    scatter (~0.45 s each at the NYTimes shape), and the position needs
+    one fused gather: pos = grank + (offsets - kept_before)[seg]."""
     m = mask.astype(jnp.int32)
-    counts = jax.ops.segment_sum(
-        m, seg, num_segments=num_segments + 1, indices_are_sorted=True
-    )[:num_segments]
+    incl = jnp.cumsum(m)
+    G = jnp.concatenate([jnp.zeros((1,), jnp.int32), incl])  # kept in [0,i)
+    bounds = jnp.searchsorted(
+        seg, jnp.arange(num_segments + 1, dtype=seg.dtype), side="left"
+    )
+    kept_before = G[bounds]  # (S+1,) kept entries in segments < s
+    counts = kept_before[1:] - kept_before[:-1]
     padded = ((counts + 7) // 8) * 8
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
     )
-    # global rank among masked entries, then rank within segment
-    grank = jnp.cumsum(m) - 1
-    seg_tail_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
-    )
+    dstart = offsets - kept_before  # (S+1,)
     segc = jnp.minimum(seg, num_segments)
-    within = grank - seg_tail_start[segc]
-    pos = jnp.where(mask, offsets[segc] + within, jnp.int32(0x7FFFFFF0))
+    pos = jnp.where(mask, (incl - 1) + dstart[segc], jnp.int32(0x7FFFFFF0))
     return pos, padded, offsets
 
 
@@ -167,16 +173,26 @@ def _tail_plan(word, seg, is_head, vocab: int, num_segments: int):
     return _pad8_plan(mask, seg, num_segments)
 
 
-# Per-octet segment ids: pads carry the spill id, so a min over each octet
-# recovers the real segment (octets never straddle segments).
-@partial(jax.jit, static_argnames=("vocab", "n_pad", "seg_spill"))
-def _compact_tail(word, seg, val, pos, vocab: int, n_pad: int, seg_spill: int):
+def _oseg_from_offsets(offsets: jax.Array, n_pad: int) -> jax.Array:
+    """Per-octet segment ids derived directly from the padded block
+    offsets (cumsum of x8-padded per-segment counts, length S+1): octet j
+    covers positions [8j, 8j+8), blocks are x8-aligned so octets never
+    straddle a segment, hence octet j belongs to the unique s with
+    offsets[s] <= 8j < offsets[s+1]; octets at/after the total get the
+    spill id S. Replaces a full-size scatter + octet min-reduce with a
+    vectorized binary search (measured: full-size scalar scatters are
+    ~0.4-1.2 s each at the 48M NYTimes shape, benchmarks/micro_build.py)."""
+    starts = jnp.arange(n_pad // 8, dtype=jnp.int32) * 8
+    return (
+        jnp.searchsorted(offsets, starts, side="right") - 1
+    ).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("vocab", "n_pad"))
+def _compact_tail(word, val, pos, offsets, vocab: int, n_pad: int):
     out_w = jnp.full((n_pad,), vocab, jnp.int32).at[pos].set(word, mode="drop")
     out_v = jnp.zeros((n_pad,), jnp.float32).at[pos].set(val, mode="drop")
-    big = jnp.int32(seg_spill)
-    out_s = jnp.full((n_pad,), big).at[pos].set(seg, mode="drop")
-    oseg = jnp.min(out_s.reshape(n_pad // 8, 8), axis=1)
-    return out_w, out_v, oseg
+    return out_w, out_v, _oseg_from_offsets(offsets, n_pad)
 
 
 @partial(jax.jit, static_argnames=("n_pad", "fill"))
@@ -184,17 +200,34 @@ def _compact_ids(ids, pos, n_pad: int, fill: int):
     return jnp.full((n_pad,), fill, jnp.int32).at[pos].set(ids, mode="drop")
 
 
-@partial(jax.jit, static_argnames=("n_pad", "seg_spill", "fill"))
-def _compact_tail_novals(
-    ids, seg, pos, n_pad: int, seg_spill: int, fill: int
-):
+@partial(jax.jit, static_argnames=("n_pad", "fill"))
+def _compact_tail_novals(ids, pos, offsets, n_pad: int, fill: int):
     """Factored-mode compaction: per-entry ids + per-octet segment ids,
     no value array."""
     out_i = jnp.full((n_pad,), fill, jnp.int32).at[pos].set(ids, mode="drop")
-    big = jnp.int32(seg_spill)
-    out_s = jnp.full((n_pad,), big).at[pos].set(seg, mode="drop")
-    oseg = jnp.min(out_s.reshape(n_pad // 8, 8), axis=1)
-    return out_i, oseg
+    return out_i, _oseg_from_offsets(offsets, n_pad)
+
+
+@partial(jax.jit, static_argnames=("n_pad", "fill"))
+def _compact_tail_remap(ids, remap, pos, offsets, n_pad: int, fill: int):
+    """_compact_tail_novals with the id remapping (remap[ids]) fused into
+    the same program instead of a separate eager 48M gather pass."""
+    out_i = jnp.full((n_pad,), fill, jnp.int32).at[pos].set(
+        remap[ids], mode="drop"
+    )
+    return out_i, _oseg_from_offsets(offsets, n_pad)
+
+
+@partial(jax.jit, static_argnames=("n_pad", "fill"))
+def _compact_tail_oseg_remap(ids, pos, offsets, oseg_remap, n_pad: int,
+                             fill: int):
+    """_compact_tail_novals whose per-octet segment ids pass through
+    oseg_remap — lets the doc-side plan run on RAW doc ids (the doc
+    renumbering is monotone and dropped docs are empty segments, so the
+    padded positions are identical) and remap only the 8x-smaller octet
+    ids, instead of an eager 48M remap gather before the plan."""
+    out_i = jnp.full((n_pad,), fill, jnp.int32).at[pos].set(ids, mode="drop")
+    return out_i, oseg_remap[_oseg_from_offsets(offsets, n_pad)]
 
 
 def to_hybrid(
@@ -220,8 +253,8 @@ def to_hybrid(
     head_nnz = int(head_nnz)
 
     # Tail plans: sizes need a host sync to fix static shapes.
-    pos_d, padded_d, _ = _tail_plan(sp.d_word, sp.d_doc, is_head, V, D)
-    pos_w, padded_w, _ = _tail_plan(sp.w_word, sp.w_word, is_head, V, V)
+    pos_d, padded_d, off_d = _tail_plan(sp.d_word, sp.d_doc, is_head, V, D)
+    pos_w, padded_w, off_w = _tail_plan(sp.w_word, sp.w_word, is_head, V, V)
     Nt = int(jnp.sum(padded_d))
     Nw = int(jnp.sum(padded_w))
     Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
@@ -229,19 +262,19 @@ def to_hybrid(
 
     if row_scale is None:
         td_word, td_val, td_odoc = _compact_tail(
-            sp.d_word, sp.d_doc, sp.d_val, pos_d, V, Nt_pad, D
+            sp.d_word, sp.d_val, pos_d, off_d, V, Nt_pad
         )
         _, tw_val, tw_oword = _compact_tail(
-            sp.w_word, sp.w_word, sp.w_val, pos_w, V, Nw_pad, V
+            sp.w_word, sp.w_val, pos_w, off_w, V, Nw_pad
         )
         tw_doc = _compact_ids(sp.w_doc, pos_w, Nw_pad, D)
     else:
         td_val = tw_val = None
         td_word, td_odoc = _compact_tail_novals(
-            sp.d_word, sp.d_doc, pos_d, Nt_pad, D, V
+            sp.d_word, pos_d, off_d, Nt_pad, V
         )
         tw_doc, tw_oword = _compact_tail_novals(
-            sp.w_doc, sp.w_word, pos_w, Nw_pad, V, D
+            sp.w_doc, pos_w, off_w, Nw_pad, D
         )
 
     return HybridSparse(
@@ -425,16 +458,20 @@ def h_to_doc_sparse_vals(h: HybridSparse):
 
 @partial(jax.jit, static_argnames=("num_docs",))
 def _occupancy(word, doc, val, zetas, sel_p, num_docs: int):
+    """Keep mask + per-doc occupancy/renumbering. `doc` is sorted
+    (doc-sorted layout), so occupancy comes from kept-prefix sums sampled
+    at doc boundaries — no segment_sum scatter (see _pad8_plan)."""
     from .bmatrix import _keep_mask
 
     keep = _keep_mask(word, val, zetas) & sel_p[doc]
-    occ = (
-        jax.ops.segment_sum(
-            keep.astype(jnp.int32), doc, num_segments=num_docs + 1,
-            indices_are_sorted=True,
-        )[:num_docs]
-        > 0
+    G = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(keep.astype(jnp.int32))]
     )
+    bounds = jnp.searchsorted(
+        doc, jnp.arange(num_docs + 1, dtype=doc.dtype), side="left"
+    )
+    kept_before = G[bounds]
+    occ = (kept_before[1:] - kept_before[:-1]) > 0
     new_doc = jnp.cumsum(occ.astype(jnp.int32)) - 1
     frob_sq = jnp.sum(
         jnp.where(
@@ -447,26 +484,64 @@ def _occupancy(word, doc, val, zetas, sel_p, num_docs: int):
 
 
 @partial(jax.jit, static_argnames=("vocab", "num_head"))
-def _head_select_masked(w_word, keep_w, vocab: int, num_head: int):
-    counts = jax.ops.segment_sum(
-        keep_w.astype(jnp.int32), w_word, num_segments=vocab + 1,
-        indices_are_sorted=True,
-    )[:vocab]
+def _head_select_masked(w_word, w_val, w_doc, zetas, sel_p, vocab: int,
+                        num_head: int):
+    """Head selection over the post-threshold entries; computes the
+    word-sorted keep mask in the same program (it was a 0.9 s chain of
+    eager ops at the NYTimes shape) and returns it for reuse. Word counts
+    come from kept-prefix sums at word boundaries (w_word sorted; see
+    _pad8_plan). Also returns `rankx`, the fused rank/is_head table
+    (rank for head words, -1 otherwise) the head build gathers once."""
+    from .bmatrix import _keep_mask
+
+    keep_w = _keep_mask(w_word, w_val, zetas) & sel_p[w_doc]
+    G = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(keep_w.astype(jnp.int32))]
+    )
+    bounds = jnp.searchsorted(
+        w_word, jnp.arange(vocab + 1, dtype=w_word.dtype), side="left"
+    )
+    kept_before = G[bounds]
+    counts = kept_before[1:] - kept_before[:-1]
     _, head_words = jax.lax.top_k(counts, num_head)
     head_words = jnp.sort(head_words).astype(jnp.int32)
     is_head = jnp.zeros((vocab + 1,), bool).at[head_words].set(True)
     rank = jnp.zeros((vocab + 1,), jnp.int32).at[head_words].set(
         jnp.arange(num_head, dtype=jnp.int32)
     )
-    return head_words, is_head, rank
+    rankx = jnp.where(is_head, rank, -1)
+    return head_words, is_head, rank, keep_w, rankx
+
+
+@partial(jax.jit, static_argnames=("num_docs", "vocab"))
+def _plans_masked(
+    d_word, d_doc, keep_d, w_word, keep_w, is_head, num_docs: int, vocab: int
+):
+    """Both tail pad-plans in ONE program (the two eager _pad8_plan chains
+    cost ~3.1 s at the NYTimes shape; fused they share passes over the
+    entry arrays). The doc-side plan runs on RAW doc ids — the doc
+    renumbering is monotone and dropped docs are empty segments, so the
+    resulting positions are identical and the per-octet ids remap later
+    (8x smaller). Returns positions, padded totals, block offsets, and
+    the tail nnz."""
+    mask_d = keep_d & ~is_head[d_word]
+    mask_w = keep_w & ~is_head[w_word]
+    pos_d, padded_d, off_d = _pad8_plan(mask_d, d_doc, num_docs)
+    pos_w, padded_w, off_w = _pad8_plan(mask_w, w_word, vocab)
+    return (
+        pos_d, jnp.sum(padded_d), off_d,
+        pos_w, jnp.sum(padded_w), off_w,
+        jnp.sum(mask_d.astype(jnp.int32)),
+    )
 
 
 @partial(jax.jit, static_argnames=("num_head", "nz_docs"))
 def _build_head_masked(
-    word, doc, keep, is_head, rank, ndp, num_head: int, nz_docs: int
+    word, doc, keep, rankx, ndp, num_head: int, nz_docs: int
 ):
-    hmask = keep & is_head[word]
-    rr = jnp.where(hmask, rank[word], num_head)
+    r = rankx[word]  # one gather for rank AND head membership
+    hmask = keep & (r >= 0)
+    rr = jnp.where(hmask, r, num_head)
     dd = jnp.where(hmask, ndp[doc], nz_docs)
     flat = rr * jnp.int32(nz_docs + 1) + dd
     H = jnp.zeros(((num_head + 1) * (nz_docs + 1),), jnp.bfloat16)
@@ -514,7 +589,6 @@ def hybrid_from_thresholds(
     )
     nz_docs = int(jnp.sum(occ))
     original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
-    keep_w = _keep_mask(A.w_word, A.w_val, zetas) & sel_p[A.w_doc]
 
     num_head = int(
         min(
@@ -523,34 +597,33 @@ def hybrid_from_thresholds(
             max_head_rows(nz_docs),
         )
     )
-    head_words, is_head, rank = _head_select_masked(
-        A.w_word, keep_w, V, num_head
+    head_words, is_head, rank, keep_w, rankx = _head_select_masked(
+        A.w_word, A.w_val, A.w_doc, zetas, sel_p, V, num_head
     )
 
     ndp = jnp.concatenate(
         [new_doc, jnp.full((1,), nz_docs, jnp.int32)]
     )
     head, head_nnz = _build_head_masked(
-        A.d_word, A.d_doc, keep_d, is_head, rank, ndp, num_head, nz_docs
+        A.d_word, A.d_doc, keep_d, rankx, ndp, num_head, nz_docs
     )
 
-    mask_d = keep_d & ~is_head[A.d_word]
-    mask_w = keep_w & ~is_head[A.w_word]
-    pos_d, padded_d, _ = _pad8_plan(mask_d, ndp[A.d_doc], nz_docs)
-    pos_w, padded_w, _ = _pad8_plan(mask_w, A.w_word, V)
-    Nt = int(jnp.sum(padded_d))
-    Nw = int(jnp.sum(padded_w))
+    pos_d, Nt_a, off_d, pos_w, Nw_a, off_w, tail_nnz = _plans_masked(
+        A.d_word, A.d_doc, keep_d, A.w_word, keep_w, is_head, D, V
+    )
+    Nt = int(Nt_a)
+    Nw = int(Nw_a)
     Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
     Nw_pad = max(((Nw + chunk - 1) // chunk) * chunk, chunk)
 
-    td_word, td_odoc = _compact_tail_novals(
-        A.d_word, ndp[A.d_doc], pos_d, Nt_pad, nz_docs, V
+    td_word, td_odoc = _compact_tail_oseg_remap(
+        A.d_word, pos_d, off_d, ndp, Nt_pad, V
     )
-    tw_doc, tw_oword = _compact_tail_novals(
-        ndp[A.w_doc], A.w_word, pos_w, Nw_pad, V, nz_docs
+    tw_doc, tw_oword = _compact_tail_remap(
+        A.w_doc, ndp, pos_w, off_w, Nw_pad, nz_docs
     )
 
-    nnz = int(head_nnz) + int(jnp.sum(mask_d.astype(jnp.int32)))
+    nnz = int(head_nnz) + int(tail_nnz)
     h = HybridSparse(
         head_words=head_words,
         head=head,
