@@ -130,11 +130,19 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
 
     from isle_tpu.mwu import build_infer_batch, infer_all
 
-    # unit-mass normalization: vals = counts / doc_sum = vals / avg_doc_sz
+    # unit-mass normalization: vals = counts / doc_sum (computed directly,
+    # matching the device rebuild bit-for-bit)
+    lengths = np.diff(corpus.offsets)
+    dsum = np.add.reduceat(
+        corpus.counts.astype(np.float32),
+        np.minimum(corpus.offsets[:-1], corpus.nnz - 1),
+    )
+    dsum[lengths == 0] = 1.0
     infer_corpus = _dc.replace(
-        corpus, vals=(corpus.vals / np.float32(corpus.avg_doc_sz)).astype(
-            np.float32
-        )
+        corpus,
+        vals=(
+            corpus.counts.astype(np.float32) / np.repeat(dsum, lengths)
+        ).astype(np.float32),
     )
     model = tr2.get_model()
     batch = build_infer_batch(infer_corpus, model.sum(axis=1))

@@ -39,13 +39,21 @@ MAX_NNZS = 20000  # include/infer.h:52
 
 @dataclasses.dataclass
 class InferBatch:
-    """Host-side padded layout of the inference corpus."""
+    """Host-side padded layout of the inference corpus.
+
+    When `counts`/`doc_sums` are present (raw counts fit uint16 and the
+    corpus is exactly unit-mass normalized), blocks upload word ids +
+    uint16 counts + per-doc sums (~6 B/slot) and the device rebuilds
+    a = count/doc_sum bit-identically — the host->device link is the
+    inference bottleneck on this tunnel, not compute."""
 
     word_idx: np.ndarray  # (num_docs, L) int32, pad = vocab
     a: np.ndarray  # (num_docs, L) float32, pad = 0
     words_in_doc: np.ndarray  # (num_docs,) int32 (pre-filter count)
     num_docs: int
     avg_doc_sz: float
+    counts: np.ndarray = None  # (num_docs, L) uint16 or None
+    doc_sums: np.ndarray = None  # (num_docs,) float32 or None
 
 
 def build_infer_batch(corpus, model_mass: np.ndarray, pad_to: int = 8) -> InferBatch:
@@ -76,17 +84,41 @@ def build_infer_batch(corpus, model_mass: np.ndarray, pad_to: int = 8) -> InferB
     kw = within[keep]
     word_idx[kd, kw] = rows[keep]
     a[kd, kw] = vals[keep]
+
+    # Compact-upload sidecar: raw counts + per-doc sums, if they exactly
+    # reproduce vals (unit-mass normalization) and fit uint16.
+    counts_p = doc_sums = None
+    if corpus.counts is not None and len(rows) and float(
+        corpus.counts.max()
+    ) < 65536.0:
+        ds = np.add.reduceat(
+            corpus.counts.astype(np.float32),
+            np.minimum(offsets[:-1], len(rows) - 1),
+        )
+        ds[lengths == 0] = 1.0
+        idx = np.unique(np.linspace(
+            0, len(rows) - 1, num=min(1024, len(rows))
+        ).astype(np.int64))
+        dix = np.searchsorted(offsets, idx, side="right") - 1
+        expect = corpus.counts[idx].astype(np.float32) / ds[dix]
+        if np.array_equal(expect.astype(np.float32),
+                          vals[idx].astype(np.float32)):
+            counts_p = np.zeros((D, L), np.uint16)
+            counts_p[kd, kw] = corpus.counts[keep].astype(np.uint16)
+            doc_sums = ds.astype(np.float32)
+
     return InferBatch(
         word_idx=word_idx,
         a=a,
         words_in_doc=lengths.astype(np.int32),
         num_docs=D,
         avg_doc_sz=corpus.avg_doc_sz,
+        counts=counts_p,
+        doc_sums=doc_sums,
     )
 
 
-@partial(jax.jit, static_argnames=("iters", "max_guesses"))
-def _mwu_block(
+def _mwu_core(
     Mw: jax.Array,  # (V+1, k) model with zero spill row
     word_idx: jax.Array,  # (bs, L)
     a: jax.Array,  # (bs, L)
@@ -159,6 +191,21 @@ def _mwu_block(
     return w, conv, s
 
 
+@partial(jax.jit, static_argnames=("iters", "max_guesses"))
+def _mwu_block(Mw, word_idx, a, iters: int, Lf0, max_guesses: int):
+    return _mwu_core(Mw, word_idx, a, iters, Lf0, max_guesses)
+
+
+@partial(jax.jit, static_argnames=("iters", "max_guesses"))
+def _mwu_block_compact(Mw, word_idx, counts, doc_sums, iters: int, Lf0,
+                       max_guesses: int):
+    """Compact-upload block: a = count / doc_sum rebuilt on device (the
+    same f32 expression Corpus.from_entries used, so bit-identical to the
+    host-packed `a`)."""
+    a = counts.astype(jnp.float32) / doc_sums[:, None]
+    return _mwu_core(Mw, word_idx, a, iters, Lf0, max_guesses)
+
+
 def infer_all(
     model: np.ndarray,  # (vocab, k) column-l1-normalized topic model
     batch: InferBatch,
@@ -196,10 +243,15 @@ def infer_all(
 
     # Bucket docs by kept length: the padded layout is front-loaded, so a
     # doc with n kept words only needs the first n columns; docs far below
-    # the global max L waste einsum work otherwise (real corpora have
-    # heavily skewed doc lengths).
+    # the bucket edge waste upload bytes and compute otherwise. Fine edges
+    # (multiples of 64 through 512) keep padding waste ~1.2x vs the ~2.6x
+    # of coarse power-of-4 buckets — the upload is the bottleneck on this
+    # link, so slot count is wall-clock.
     kept = (batch.word_idx < V).sum(axis=1)
-    edges = [e for e in (32, 128, 512, 2048, 8192) if e < L] + [L]
+    fine = [64, 128, 192, 256, 320, 384, 448, 512, 1024, 2048, 8192]
+    edges = [e for e in fine if e < L] + [L]
+    compact = batch.counts is not None and mesh is None
+    pending = []
     prev = -1
     for edge in edges:
         sel = np.flatnonzero((kept > prev) & (kept <= edge))
@@ -217,23 +269,47 @@ def infer_all(
             idx = sel[lo : lo + bs_cap]
             bs = len(idx)
             wi = batch.word_idx[idx, :edge]
-            av = batch.a[idx, :edge]
             if bs < bs_cap:  # pad the tail block to the static shape
                 wi = np.concatenate(
                     [wi, np.full((bs_cap - bs, edge), V, np.int32)]
                 )
-                av = np.concatenate(
-                    [av, np.zeros((bs_cap - bs, edge), np.float32)]
+            if compact:
+                cn = batch.counts[idx, :edge]
+                ds = batch.doc_sums[idx]
+                if bs < bs_cap:
+                    cn = np.concatenate(
+                        [cn, np.zeros((bs_cap - bs, edge), np.uint16)]
+                    )
+                    ds = np.concatenate(
+                        [ds, np.ones(bs_cap - bs, np.float32)]
+                    )
+                w, c, s = _mwu_block_compact(
+                    Mw, jnp.asarray(wi), jnp.asarray(cn), jnp.asarray(ds),
+                    iters, Lf0, max_guesses,
                 )
-            if mesh is not None:
-                wi = jax.device_put(wi, sh_rows)
-                av = jax.device_put(av, sh_rows)
-            w, c, s = _mwu_block(
-                Mw, jnp.asarray(wi), jnp.asarray(av), iters, Lf0, max_guesses
-            )
-            weights[idx] = np.asarray(w)[:bs]
-            conv[idx] = np.asarray(c)[:bs]
-            s_all[idx] = np.asarray(s)[:bs]
+                pending.append((idx, bs, w, c, s))
+                continue
+            else:
+                av = batch.a[idx, :edge]
+                if bs < bs_cap:
+                    av = np.concatenate(
+                        [av, np.zeros((bs_cap - bs, edge), np.float32)]
+                    )
+                if mesh is not None:
+                    wi = jax.device_put(wi, sh_rows)
+                    av = jax.device_put(av, sh_rows)
+                w, c, s = _mwu_block(
+                    Mw, jnp.asarray(wi), jnp.asarray(av), iters, Lf0,
+                    max_guesses,
+                )
+            pending.append((idx, bs, w, c, s))
+    # One pipeline flush instead of a sync per block: dispatch is async,
+    # so all uploads/compute/downloads overlap and the per-block readback
+    # round-trips (~0.1-0.5 s each on this tunnel) collapse.
+    for idx, bs, w, c, s in pending:
+        weights[idx] = np.asarray(w)[:bs]
+        conv[idx] = np.asarray(c)[:bs]
+        s_all[idx] = np.asarray(s)[:bs]
     llh_doc = np.where(conv, s_all * np.float32(batch.avg_doc_sz), 0.0)
     llh_weighted = np.where(conv, s_all * batch.words_in_doc, 0.0)
     weights = np.where(conv[:, None], weights, np.float32(1.0 / k))

@@ -117,3 +117,29 @@ def test_skewed_lengths_bucketing():
         assert bool(conv[d]) == conv_ref, d
         if conv_ref:
             np.testing.assert_allclose(weights[d], w_ref, rtol=5e-4, atol=1e-5)
+
+
+def test_compact_blocks_match_f32_blocks():
+    """The uint16-counts compact upload path must match the f32-a path
+    exactly (same device f32 expression count/doc_sum)."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    V, D, k = 120, 37, 4
+    M = make_model(rng, V, k)
+    docs = np.repeat(np.arange(D), 9)
+    words = rng.integers(0, V, 9 * D)
+    order = np.lexsort((words, docs))
+    corpus = Corpus.from_entries(
+        docs[order], words[order], rng.integers(1, 300, 9 * D)[order],
+        vocab_size=V, num_docs=D, normalize_to_one=True,
+    )
+    batch = build_infer_batch(corpus, M.sum(axis=1))
+    assert batch.counts is not None  # compact sidecar present
+    stripped = dataclasses.replace(batch, counts=None, doc_sums=None)
+    w1, c1, l1, lw1 = infer_all(M, batch, 15, 10.0)
+    w2, c2, l2, lw2 = infer_all(M, stripped, 15, 10.0)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(lw1, lw2)
