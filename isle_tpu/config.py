@@ -132,6 +132,10 @@ class TpuConfig:
     # (no per-restart host syncs); False uses the host-driven loop with
     # per-restart diagnostics.
     device_loop_solver: bool = True
+    # When set, Trainer.train() wraps the pipeline in a jax profiler
+    # trace written to this directory (SURVEY.md §5.1's tracing story:
+    # phase Timers + OpCounter FLOP rates + on-demand XLA traces).
+    profile_dir: str = ""
     # Matmul precision for parity-critical products (Gram matrices, QR).
     precise_matmul: str = "highest"
 

@@ -460,21 +460,43 @@ def _lloyds_iter_full(sp, centers: jax.Array, docs_l2: jax.Array, k: int):
     return centers, assign
 
 
+@partial(jax.jit, static_argnames=("k", "max_reps"))
+def _lloyds_full_device(sp, centers, docs_l2, k: int, max_reps: int):
+    """The whole Lloyd's convergence loop in one lax.while_loop: each
+    host-side membership check costs a device sync (~30 ms to ~0.5 s on
+    this tunnel), so the membership-unchanged test runs on device."""
+    D = docs_l2.shape[0]
+
+    def cond(st):
+        _, _, done, rep = st
+        return (~done) & (rep < max_reps)
+
+    def body(st):
+        centers, prev, _, rep = st
+        centers, assign = _lloyds_iter_full(sp, centers, docs_l2, k)
+        done = jnp.all(assign == prev)
+        return centers, assign, done, rep + 1
+
+    init = (centers, jnp.full((D,), -1, jnp.int32), jnp.bool_(False),
+            jnp.int32(0))
+    centers, assign, _, reps = jax.lax.while_loop(cond, body, init)
+    return centers, assign, reps
+
+
 def run_lloyds_full(
     sp, centers: jax.Array, max_reps: int, timer=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-space Lloyd's (run_lloyds, src/sparseMatrix.cpp:1689-1746).
     centers: (k, vocab); sp: DocSparse or HybridSparse. Returns
-    (centers, assignment)."""
+    (centers, assignment). Convergence = unchanged membership; the loop
+    runs on device (same break placement as the reference's host loop:
+    the iteration that reproduces the previous assignment still updates
+    the centers)."""
     k = centers.shape[0]
     docs_l2 = mat_doc_l2sq(sp)
-    prev = None
-    assign = None
-    for rep in range(max_reps):
-        centers, assign = _lloyds_iter_full(sp, centers, docs_l2, k)
-        if prev is not None and bool(jnp.array_equal(assign, prev)):
-            if timer is not None:
-                timer.diag(f"full lloyds converged at rep {rep}")
-            break
-        prev = assign
+    centers, assign, reps = _lloyds_full_device(
+        sp, centers, docs_l2, k, max_reps
+    )
+    if timer is not None:
+        timer.diag(f"full lloyds ran {int(reps)} reps (max {max_reps})")
     return centers, assign

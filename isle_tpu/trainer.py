@@ -141,6 +141,22 @@ class Trainer:
         SURVEY.md §5.4)."""
         assert self.corpus is not None, "load data first"
         cfg = self.config
+        if cfg.tpu.profile_dir:
+            # On-demand XLA trace around the whole pipeline (§5.1); the
+            # profiler may be unavailable on remote-tunnel backends.
+            try:
+                jax.profiler.start_trace(cfg.tpu.profile_dir)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                self.logger.warning(f"jax profiler unavailable: {e}")
+            else:
+                try:
+                    return self._train_inner(resume)
+                finally:
+                    jax.profiler.stop_trace()
+        return self._train_inner(resume)
+
+    def _train_inner(self, resume: bool = False) -> None:
+        cfg = self.config
         if cfg.tpu.mesh_devices() > 1:
             return self._train_sharded(resume=resume)
         hp = cfg.hyper
