@@ -132,16 +132,11 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
 
     # unit-mass normalization: vals = counts / doc_sum (computed directly,
     # matching the device rebuild bit-for-bit)
-    lengths = np.diff(corpus.offsets)
-    dsum = np.add.reduceat(
-        corpus.counts.astype(np.float32),
-        np.minimum(corpus.offsets[:-1], corpus.nnz - 1),
-    )
-    dsum[lengths == 0] = 1.0
     infer_corpus = _dc.replace(
         corpus,
         vals=(
-            corpus.counts.astype(np.float32) / np.repeat(dsum, lengths)
+            corpus.counts.astype(np.float32)
+            / np.repeat(corpus.doc_sums(), np.diff(corpus.offsets))
         ).astype(np.float32),
     )
     model = tr2.get_model()

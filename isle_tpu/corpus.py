@@ -91,6 +91,38 @@ class Corpus:
             np.diff(self.offsets).astype(np.int64),
         )
 
+    def doc_sums(self, empty_value: float = 1.0) -> np.ndarray:
+        """Per-doc raw count sums in f32 (requires counts). Empty docs get
+        `empty_value` (1.0 keeps later divisions harmless)."""
+        assert self.counts is not None
+        ds = np.full(self.num_docs, np.float32(empty_value), np.float32)
+        if self.nnz:
+            lengths = np.diff(self.offsets)
+            s = np.add.reduceat(
+                self.counts.astype(np.float32),
+                np.minimum(self.offsets[:-1], self.nnz - 1),
+            )
+            s[lengths == 0] = empty_value
+            ds[:] = s
+        return ds
+
+    def vals_match(self, expected_fn, sample: int = 1024) -> bool:
+        """True when `vals` equals `expected_fn(sampled counts, sampled
+        doc_sums)` bitwise on an evenly spaced sample — the guard the
+        compact device-rebuild paths use before recomputing values from
+        raw counts on device."""
+        if self.counts is None or self.nnz == 0:
+            return False
+        ds = self.doc_sums()
+        idx = np.unique(np.linspace(
+            0, self.nnz - 1, num=min(sample, self.nnz)
+        ).astype(np.int64))
+        dix = np.searchsorted(self.offsets, idx, side="right") - 1
+        expect = expected_fn(self.counts[idx], ds[dix])
+        return bool(np.array_equal(
+            expect.astype(np.float32), self.vals[idx].astype(np.float32)
+        ))
+
     @staticmethod
     def from_entries(
         docs: np.ndarray,

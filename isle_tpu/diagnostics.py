@@ -35,18 +35,34 @@ def joint_doc_frequency(corpus: Corpus, w1: int, w2: int) -> int:
 
 
 def joint_doc_frequencies(corpus: Corpus, words: np.ndarray) -> np.ndarray:
-    """All-pairs joint document frequencies of `words` as ONE boolean Gram
+    """All-pairs joint document frequencies of `words` as a boolean Gram
     product: Z (docs x |T|) indicator of word-in-doc, J = Z^T Z (|T| on
     the order of k*5, so J is tiny). Replaces the reference's per-pair
-    doc-list intersections (src/sparseMatrix.cpp:841-967) with a single
-    BLAS/MXU matmul — no per-pair loops."""
+    doc-list intersections (src/sparseMatrix.cpp:841-967) with Gram
+    matmuls — no per-pair loops. Z accumulates over doc blocks so host
+    memory stays bounded (a dense (D, T) f32 would be ~16 GB at the
+    PubMed shape)."""
     T = len(words)
+    D = corpus.num_docs
     idx = np.full(corpus.vocab_size, -1, np.int64)
     idx[words] = np.arange(T)
     sel = idx[corpus.rows] >= 0
-    Z = np.zeros((corpus.num_docs, T), np.float32)
-    Z[corpus.doc_ids()[sel], idx[corpus.rows[sel]]] = 1.0
-    return (Z.T @ Z).astype(np.int64)
+    docs = corpus.doc_ids()[sel]
+    cols = idx[corpus.rows[sel]]
+    J = np.zeros((T, T), np.float64)
+    block = max(1, (1 << 28) // max(4 * T, 1))  # ~256 MB of Z per block
+    edges = np.arange(0, max(D, 1) + block, block)
+    bounds = np.searchsorted(docs, edges)  # docs is doc-major sorted
+    for i in range(len(edges) - 1):
+        a, b = bounds[i], bounds[i + 1]
+        if a == b:
+            continue
+        lo = edges[i]
+        hi = min(lo + block, D)
+        Z = np.zeros((hi - lo, T), np.float32)
+        Z[docs[a:b] - lo, cols[a:b]] = 1.0
+        J += (Z.T @ Z).astype(np.float64)
+    return J.astype(np.int64)
 
 
 def topic_coherence(

@@ -102,7 +102,11 @@ def _flagged_dists(
 
     X = centers.T  # (vocab, k)
     g = jnp.take(X, gw, axis=0, fill_value=0.0) * gv[:, None]
-    dots = jax.ops.segment_sum(g, gs, num_segments=m_docs + 1)[:m_docs]
+    # gs is non-decreasing: seg follows the doc-sorted entry order and the
+    # compaction preserves it (spill rows sort to the end).
+    dots = jax.ops.segment_sum(
+        g, gs, num_segments=m_docs + 1, indices_are_sorted=True
+    )[:m_docs]
     if isinstance(sp, HybridSparse):
         # dense-head contribution: gather flagged doc columns, one matmul
         Hf = jnp.take(sp.head, jnp.minimum(ids, D - 1), axis=1)  # (R, m)

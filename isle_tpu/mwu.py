@@ -86,26 +86,23 @@ def build_infer_batch(corpus, model_mass: np.ndarray, pad_to: int = 8) -> InferB
     a[kd, kw] = vals[keep]
 
     # Compact-upload sidecar: raw counts + per-doc sums, if they exactly
-    # reproduce vals (unit-mass normalization) and fit uint16.
+    # reproduce vals (unit-mass normalization) and fit uint16. The
+    # integrality check is global — a sampled check could miss rare
+    # fractional counts the uint16 cast would truncate — and vals_match
+    # compares what the DEVICE will compute, including the cast.
     counts_p = doc_sums = None
-    if corpus.counts is not None and len(rows) and float(
-        corpus.counts.max()
-    ) < 65536.0:
-        ds = np.add.reduceat(
-            corpus.counts.astype(np.float32),
-            np.minimum(offsets[:-1], len(rows) - 1),
+    if (
+        corpus.counts is not None
+        and len(rows)
+        and float(corpus.counts.max()) < 65536.0
+        and bool(np.all(corpus.counts == np.floor(corpus.counts)))
+        and corpus.vals_match(
+            lambda c, ds: c.astype(np.uint16).astype(np.float32) / ds
         )
-        ds[lengths == 0] = 1.0
-        idx = np.unique(np.linspace(
-            0, len(rows) - 1, num=min(1024, len(rows))
-        ).astype(np.int64))
-        dix = np.searchsorted(offsets, idx, side="right") - 1
-        expect = corpus.counts[idx].astype(np.float32) / ds[dix]
-        if np.array_equal(expect.astype(np.float32),
-                          vals[idx].astype(np.float32)):
-            counts_p = np.zeros((D, L), np.uint16)
-            counts_p[kd, kw] = corpus.counts[keep].astype(np.uint16)
-            doc_sums = ds.astype(np.float32)
+    ):
+        counts_p = np.zeros((D, L), np.uint16)
+        counts_p[kd, kw] = corpus.counts[keep].astype(np.uint16)
+        doc_sums = corpus.doc_sums()
 
     return InferBatch(
         word_idx=word_idx,
@@ -264,7 +261,9 @@ def infer_all(
             bs_cap = max(1, min(len(sel), (1 << 29) // max(edge * k, 1)))
             bs_cap = int(2 ** math.floor(math.log2(bs_cap)))
         if mesh is not None:
-            bs_cap = max(bs_cap, int(mesh.devices.size))
+            # row-sharded device_put requires bs_cap % n_devices == 0
+            n_dev = int(mesh.devices.size)
+            bs_cap = ((max(bs_cap, n_dev) + n_dev - 1) // n_dev) * n_dev
         for lo in range(0, len(sel), bs_cap):
             idx = sel[lo : lo + bs_cap]
             bs = len(idx)

@@ -68,7 +68,16 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
     (~17 MB/s), so the upload is words:int32 + raw counts in the smallest
     dtype + per-chunk int32 offsets (~5 B/entry instead of the 12 B/entry
     of materialized w/v/d) with doc ids and normalized values rebuilt on
-    device. Falls back to the fat upload when raw counts are unavailable."""
+    device. Falls back to the fat upload when raw counts are unavailable.
+
+    Rounding note: the verification below compares HOST arithmetic; if the
+    accelerator's f32 divide is not correctly rounded, device-rebuilt
+    values could differ from `corpus.vals` by 1 ulp. That cannot break the
+    streamed-vs-in-core invariant — the in-core path's compact upload
+    (sparse._device_build) rebuilds values on device with the SAME
+    expression, so both paths see identical numbers on any one backend —
+    but host-side oracles compare exactly only on IEEE backends (the CPU
+    test backend is)."""
     D, V = corpus.num_docs, corpus.vocab_size
     n_pad = chunk_entries
 
@@ -86,37 +95,28 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
 
     if corpus.counts is None:
         return load_fat
+    # The compact upload casts counts to a small integer dtype; fractional
+    # counts (Corpus accepts float counts) would be silently truncated, so
+    # require integrality globally.
+    if corpus.nnz and not bool(
+        np.all(corpus.counts == np.floor(corpus.counts))
+    ):
+        return load_fat
 
     cmax = float(corpus.counts.max()) if corpus.nnz else 0.0
     cdtype = (
         np.uint8 if cmax < 256 else np.uint16 if cmax < 65536 else np.int32
     )
-    lengths = np.diff(corpus.offsets)
-    doc_sums_h = np.ones(D, np.float32)
-    if corpus.nnz:
-        ds = np.add.reduceat(
-            corpus.counts.astype(np.float32),
-            np.minimum(corpus.offsets[:-1], corpus.nnz - 1),
-        )
-        ds[lengths == 0] = 1.0
-        doc_sums_h[:] = ds
     avg = np.float32(corpus.avg_doc_sz)
-    # The rebuild assumes the training normalization avg*(count/doc_sum);
-    # verify on a sample and fall back to shipping materialized values if
-    # the corpus was normalized differently (e.g. to unit mass).
-    if corpus.nnz:
-        idx = np.unique(np.linspace(
-            0, corpus.nnz - 1, num=min(1024, corpus.nnz)
-        ).astype(np.int64))
-        dix = np.searchsorted(corpus.offsets, idx, side="right") - 1
-        expect = avg * (
-            corpus.counts[idx].astype(np.float32) / doc_sums_h[dix]
-        )
-        if not np.array_equal(
-            expect.astype(np.float32), corpus.vals[idx].astype(np.float32)
-        ):
-            return load_fat
-    doc_sums = jnp.asarray(doc_sums_h)  # one (D,) upload, reused per chunk
+    # The rebuild assumes the training normalization avg*(count/doc_sum)
+    # with the compact dtype cast; verify on a sample and fall back to
+    # shipping materialized values if the corpus was normalized
+    # differently (e.g. to unit mass).
+    if corpus.nnz and not corpus.vals_match(
+        lambda c, ds: avg * (c.astype(cdtype).astype(np.float32) / ds)
+    ):
+        return load_fat
+    doc_sums = jnp.asarray(corpus.doc_sums())  # one (D,) upload, reused
     # static padded per-chunk doc capacity (offsets pad with the entry
     # count, which lands the extra markers at the pad boundary)
     max_docs = 1
@@ -408,6 +408,10 @@ def streamed_topic_model(
 
     D, V, k = corpus.num_docs, corpus.vocab_size, num_topics
     cwt = jnp.asarray(np.concatenate([cw_topic.astype(np.int32), [-1]]))
+    assert (D + 1) * k < (1 << 31), (
+        f"(num_docs+1)*k = {(D + 1) * k} exceeds int32 flat indexing; "
+        "use the doc-sharded mesh path"
+    )
     mass = jnp.zeros(((D + 1) * k,), jnp.float32)
     chunks = list(doc_chunks(corpus, chunk_entries))
     load = make_chunk_loader(corpus, chunk_entries)
@@ -477,23 +481,7 @@ class StreamedTrainer:
         ce = self.chunk_entries
 
         ck = t._load_checkpoints() if resume else {}
-        if "model" in ck:
-            m = ck["model"]
-            t.model = m["model"]
-            if "is_cw" in m:
-                is_cw = m["is_cw"]
-                t.catchwords = [np.flatnonzero(is_cw[i]) for i in range(k)]
-                t.catchword_thresholds = m.get("catchword_thresholds")
-            if "t1" in m:
-                t.top_pairs = (m["t1"], m["t2"], m["valid"])
-            if "kmeans" in ck:
-                t.centers = ck["kmeans"]["centers"]
-                t.cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
-            if "svd" in ck:
-                t.evalues = ck["svd"]["evalues"]
-                t.original_cols = ck["svd"]["original_cols"]
-            t.logger.info("resumed from 'model' checkpoint")
-            t.is_training_complete = True
+        if t._restore_model_checkpoint(ck):
             return
         resume_kmeans = "kmeans" in ck
         resume_svd = "svd" in ck
@@ -523,7 +511,11 @@ class StreamedTrainer:
         select = None
         if cfg.sample_docs:
             if resume_svd:
-                # original_cols pins the surviving docs exactly
+                # original_cols pins the surviving docs exactly; consume
+                # the same key split the sampling branch would, so every
+                # later split sees the identical key stream as an
+                # uninterrupted run
+                key, _ = jax.random.split(key)
                 select = jnp.zeros((D,), bool).at[
                     jnp.asarray(original_cols)
                 ].set(True)

@@ -56,8 +56,16 @@ def doc_topic_mass(
     docs = A.d_doc.reshape(n, chunk)
     vals = A.d_val.reshape(n, chunk)
 
-    # Flat scatter carry (see hybrid.py on 2D-scatter index layouts);
-    # (D+1)*k stays well inside int32 for any k the pipeline uses.
+    # Flat scatter carry (see hybrid.py on 2D-scatter index layouts).
+    # The flat index must fit int32 (x64 is off): (D+1)*k < 2^31. Beyond
+    # that the accumulator itself is ~8+ GB — shard docs over a mesh
+    # (sharding.sharded_doc_topic_mass) instead. Fail loudly rather than
+    # let the index wrap.
+    assert (D + 1) * k < (1 << 31), (
+        f"(num_docs+1)*k = {(D + 1) * k} exceeds int32 flat indexing; "
+        "use the doc-sharded mesh path"
+    )
+
     def body(acc, args):
         w, d, v = args
         t = cwt[w]

@@ -166,23 +166,7 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
 
         ck = self._load_checkpoints() if resume else {}
-        if "model" in ck:
-            m = ck["model"]
-            self.model = m["model"]
-            if "is_cw" in m:
-                is_cw = m["is_cw"]
-                self.catchwords = [np.flatnonzero(is_cw[t]) for t in range(k)]
-                self.catchword_thresholds = m.get("catchword_thresholds")
-            if "t1" in m:
-                self.top_pairs = (m["t1"], m["t2"], m["valid"])
-            if "kmeans" in ck:
-                self.centers = ck["kmeans"]["centers"]
-                self.cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
-            if "svd" in ck:
-                self.evalues = ck["svd"]["evalues"]
-                self.original_cols = ck["svd"]["original_cols"]
-            self.logger.info("resumed from 'model' checkpoint")
-            self.is_training_complete = True
+        if self._restore_model_checkpoint(ck):
             return
         resume_kmeans = "kmeans" in ck
         resume_svd = "svd" in ck
@@ -487,23 +471,7 @@ class Trainer:
         self.logger.info(f"sharded training on {n_dev}-device mesh")
 
         ck = self._load_checkpoints() if resume else {}
-        if "model" in ck:
-            m = ck["model"]
-            self.model = m["model"]
-            if "is_cw" in m:
-                is_cw = m["is_cw"]
-                self.catchwords = [np.flatnonzero(is_cw[t]) for t in range(k)]
-                self.catchword_thresholds = m.get("catchword_thresholds")
-            if "t1" in m:
-                self.top_pairs = (m["t1"], m["t2"], m["valid"])
-            if "kmeans" in ck:
-                self.centers = ck["kmeans"]["centers"]
-                self.cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
-            if "svd" in ck:
-                self.evalues = ck["svd"]["evalues"]
-                self.original_cols = ck["svd"]["original_cols"]
-            self.logger.info("resumed from 'model' checkpoint")
-            self.is_training_complete = True
+        if self._restore_model_checkpoint(ck):
             return
         resume_kmeans = "kmeans" in ck
         resume_svd = "svd" in ck
@@ -972,6 +940,32 @@ class Trainer:
             + ", ".join(f"{x:.4f}" for x in sv[:5])
             + f" ... lambda_k={sv[-1]:.4f}  sum={sv.sum():.2f}"
         )
+
+    def _restore_model_checkpoint(self, ck: dict) -> bool:
+        """Restore the final 'model' checkpoint (plus kmeans/svd context)
+        into trainer state; True when training is already complete. The
+        single place all three training entry points (in-core, sharded,
+        streamed) unpack the checkpoint schema."""
+        if "model" not in ck:
+            return False
+        k = self.config.num_topics
+        m = ck["model"]
+        self.model = m["model"]
+        if "is_cw" in m:
+            is_cw = m["is_cw"]
+            self.catchwords = [np.flatnonzero(is_cw[t]) for t in range(k)]
+            self.catchword_thresholds = m.get("catchword_thresholds")
+        if "t1" in m:
+            self.top_pairs = (m["t1"], m["t2"], m["valid"])
+        if "kmeans" in ck:
+            self.centers = ck["kmeans"]["centers"]
+            self.cluster_of_doc = ck["kmeans"]["cluster_of_doc"]
+        if "svd" in ck:
+            self.evalues = ck["svd"]["evalues"]
+            self.original_cols = ck["svd"]["original_cols"]
+        self.logger.info("resumed from 'model' checkpoint")
+        self.is_training_complete = True
+        return True
 
     def _load_checkpoints(self) -> dict:
         out = {}
