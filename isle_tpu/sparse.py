@@ -45,6 +45,63 @@ def _pad_to(x: np.ndarray, n: int, fill) -> np.ndarray:
     return out
 
 
+def encode_word_deltas(rows: np.ndarray, offsets: np.ndarray,
+                       lo: int = 0, hi: int = None):
+    """u16 delta encoding of word ids for the doc range [lo, hi): word ids
+    are ascending within each doc, so per-entry deltas (absolute value at
+    each doc start) are small non-negative ints; deltas > 65534 (rare —
+    big jumps across a sparse doc's vocabulary span) store the sentinel
+    65535 with the true value in an exception list. Halves the dominant
+    upload array on the ~30-75 MB/s tunnel. Returns
+    (d16 uint16[n], exc_idx int64[m], exc_val int32[m])."""
+    if hi is None:
+        hi = len(offsets) - 1
+    a, b = int(offsets[lo]), int(offsets[hi])
+    r = rows[a:b].astype(np.int64)
+    n = len(r)
+    if n == 0:
+        return (np.zeros(0, np.uint16), np.zeros(0, np.int64),
+                np.zeros(0, np.int32))
+    delta = np.empty(n, np.int64)
+    delta[0] = r[0]
+    delta[1:] = r[1:] - r[:-1]
+    starts = (offsets[lo:hi] - a).astype(np.int64)
+    starts = starts[starts < n]
+    delta[starts] = r[starts]
+    exc = np.flatnonzero((delta > 65534) | (delta < 0))
+    d16 = np.clip(delta, 0, 65535).astype(np.uint16)
+    d16[exc] = 65535
+    return d16, exc, delta[exc].astype(np.int32)
+
+
+def decode_word_deltas(d16, exc_idx, exc_val, entry_doc_start, in_range,
+                       vocab: int):
+    """Device-side inverse of encode_word_deltas (traced inside the
+    caller's jit). `entry_doc_start` is each entry's doc-start entry
+    index; the int32 running sum may wrap, but the within-doc difference
+    is < 2^31 so two's-complement subtraction recovers it exactly."""
+    delta = d16.astype(jnp.int32)
+    delta = delta.at[exc_idx].set(exc_val, mode="drop")
+    G = jnp.cumsum(delta)
+    E = jnp.concatenate([jnp.zeros((1,), jnp.int32), G])
+    w = G - E[entry_doc_start]
+    return jnp.where(in_range, jnp.clip(w, 0, vocab), vocab)
+
+
+def _pad_exceptions(exc_idx: np.ndarray, exc_val: np.ndarray, drop_to: int,
+                    min_cap: int = 1):
+    """Pad exception arrays to a power-of-two static shape (idx pads point
+    past the array -> dropped by the scatter). `min_cap` floors the
+    capacity so repeated callers share one jit specialization."""
+    m = max(min_cap, len(exc_idx), 1)
+    cap = 1 << (m - 1).bit_length()
+    idx = np.full(cap, drop_to, np.int64)
+    val = np.zeros(cap, np.int32)
+    idx[: len(exc_idx)] = exc_idx
+    val[: len(exc_val)] = exc_val
+    return idx.astype(np.int32), val
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DocSparse:
@@ -130,26 +187,24 @@ class DocSparse:
         cdtype = (
             np.uint8 if cmax < 256 else np.uint16 if cmax < 65536 else np.int32
         )
-        words = jnp.asarray(_pad_to(corpus.rows.astype(np.int32), npad, V))
+        d16, exc_i, exc_v = encode_word_deltas(corpus.rows, corpus.offsets)
+        exc_i, exc_v = _pad_exceptions(exc_i, exc_v, npad)
         counts = jnp.asarray(
             _pad_to(corpus.counts.astype(cdtype), npad, 0)
         )
         offsets = jnp.asarray(corpus.offsets.astype(np.int32))
         doc_sums = np.ones(D + 1, np.float32)
-        lengths = np.diff(corpus.offsets)
         if nnz:
-            ds = np.add.reduceat(
-                corpus.counts.astype(np.float32),
-                np.minimum(corpus.offsets[:-1], nnz - 1),
-            )
-            ds[lengths == 0] = 1.0
-            doc_sums[:D] = ds
+            doc_sums[:D] = corpus.doc_sums()
         dw, dd, dv, ww, wd, wv = _device_build(
-            words,
+            jnp.asarray(_pad_to(d16, npad, np.uint16(0))),
+            jnp.asarray(exc_i),
+            jnp.asarray(exc_v),
             counts,
             offsets,
             jnp.asarray(doc_sums),
             np.float32(corpus.avg_doc_sz),
+            jnp.int32(nnz),
             V,
             D,
             npad,
@@ -162,9 +217,10 @@ class DocSparse:
 
 
 @partial(jax.jit, static_argnames=("vocab", "num_docs", "npad"))
-def _device_build(words, counts, offsets, doc_sums, avg, vocab, num_docs, npad):
+def _device_build(d16, exc_i, exc_v, counts, offsets, doc_sums, avg, nnz,
+                  vocab, num_docs, npad):
     """Reconstruct the dual-sorted COO arrays on device from the compact
-    upload (see from_corpus)."""
+    upload (u16 word deltas + raw counts + offsets; see from_corpus)."""
     # doc id per entry: +1 markers at each doc's start offset, cumsum.
     # Empty docs repeat offsets, so scatter-ADD accumulates multiplicity;
     # entries past offsets[num_docs] (padding) land at num_docs.
@@ -173,13 +229,18 @@ def _device_build(words, counts, offsets, doc_sums, avg, vocab, num_docs, npad):
     )
     d_doc = jnp.cumsum(marks)
     d_doc = jnp.minimum(d_doc, num_docs)
-    # normalized value = avg * (count / doc_sum) in f32, matching the host
-    # computation bit-for-bit (src/sparseMatrix.cpp:158-159 semantics).
+    in_range = jnp.arange(npad, dtype=jnp.int32) < nnz
+    # offsets has num_docs+1 entries and d_doc is clamped to num_docs, so
+    # offsets[d_doc] is each entry's doc-start index (pads -> nnz).
+    d_word = decode_word_deltas(
+        d16, exc_i, exc_v, offsets[d_doc], in_range, vocab
+    )
+    # normalized value = avg * (count / doc_sum) in f32, the same
+    # expression as the host computation (src/sparseMatrix.cpp:158-159).
     c = counts.astype(jnp.float32)
     d_val = jnp.where(
-        words < vocab, avg * (c / doc_sums[d_doc]), 0.0
+        d_word < vocab, avg * (c / doc_sums[d_doc]), 0.0
     ).astype(jnp.float32)
-    d_word = words
     # word-sorted copy: lexicographic (word, doc) sort; padding (word ==
     # vocab) sorts to the end.
     ww, wd, wv = jax.lax.sort((d_word, d_doc, d_val), num_keys=2)

@@ -38,22 +38,29 @@ from .thresholds import freq_bound, _zeta_from_hist
 
 @partial(jax.jit, static_argnames=("vocab", "num_docs", "n_pad", "max_docs"))
 def _rebuild_chunk(
-    words, counts, local_offsets, cnt, lo, doc_sums, avg,
+    d16, exc_i, exc_v, counts, local_offsets, cnt, lo, doc_sums, avg,
     vocab: int, num_docs: int, n_pad: int, max_docs: int,
 ):
     """Device-side reconstruction of (w, v, d) from the compact chunk
-    upload (words + raw counts + per-chunk offsets): doc ids via the
-    +1-marker cumsum (as sparse._device_build) and normalized values
-    avg * (count / doc_sum) recomputed in f32 — the same expression, in
-    the same order, as Corpus.from_entries. Pads: word=vocab, val=0,
-    doc=num_docs."""
+    upload (u16 word deltas + raw counts + per-chunk offsets): doc ids
+    via the +1-marker cumsum (as sparse._device_build), word ids via the
+    delta decode, and normalized values avg * (count / doc_sum)
+    recomputed in f32 — the same expression, in the same order, as
+    Corpus.from_entries. Pads: word=vocab, val=0, doc=num_docs."""
+    from .sparse import decode_word_deltas
+
     pos = jnp.arange(n_pad, dtype=jnp.int32)
     marks = jnp.zeros((n_pad,), jnp.int32).at[local_offsets[1:]].add(
         1, mode="drop"
     )
-    d = jnp.minimum(lo + jnp.cumsum(marks), num_docs)
-    d = jnp.where(pos < cnt, d, num_docs)
-    w = jnp.where(pos < cnt, words, vocab)
+    # max_docs is the local_offsets array LENGTH; its last slot pads with
+    # cnt, so clamped pad entries read a doc-start of cnt (masked anyway).
+    dl = jnp.minimum(jnp.cumsum(marks), max_docs - 1)
+    in_range = pos < cnt
+    w = decode_word_deltas(
+        d16, exc_i, exc_v, local_offsets[dl], in_range, vocab
+    )
+    d = jnp.where(in_range, jnp.minimum(lo + dl, num_docs), num_docs)
     c = counts.astype(jnp.float32)
     ds = jnp.concatenate([doc_sums, jnp.ones((1,), jnp.float32)])
     v = jnp.where(w < vocab, avg * (c / ds[d]), 0.0)
@@ -129,11 +136,17 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
         max_docs = max(max_docs, hi - lo)
         lo = hi
 
+    from .sparse import _pad_exceptions, encode_word_deltas
+
     def load(lo, hi):
         a, b = corpus.offsets[lo], corpus.offsets[hi]
         cnt = int(b - a)
-        w = jnp.asarray(np.pad(corpus.rows[a:b].astype(np.int32),
-                               (0, n_pad - cnt)))
+        d16, exc_i, exc_v = encode_word_deltas(corpus.rows, corpus.offsets,
+                                               lo, hi)
+        # floor the padded exception capacity so chunks share one jit
+        # specialization (the capacity is a static shape)
+        exc_i, exc_v = _pad_exceptions(exc_i, exc_v, n_pad,
+                                       min_cap=1 << 16)
         c = jnp.asarray(np.pad(corpus.counts[a:b].astype(cdtype),
                                (0, n_pad - cnt)))
         off = jnp.asarray(np.pad(
@@ -141,7 +154,9 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
             (0, max_docs - (hi - lo)), constant_values=cnt,
         ))
         return _rebuild_chunk(
-            w, c, off, jnp.int32(cnt), jnp.int32(lo), doc_sums, avg,
+            jnp.asarray(np.pad(d16, (0, n_pad - cnt))),
+            jnp.asarray(exc_i), jnp.asarray(exc_v),
+            c, off, jnp.int32(cnt), jnp.int32(lo), doc_sums, avg,
             V, D, n_pad, max_docs + 1,
         )
 

@@ -44,3 +44,64 @@ def test_trailing_empty_docs_compact():
     a = DocSparse.from_corpus(c, chunk=64)
     np.testing.assert_array_equal(np.asarray(a.d_doc)[:2], [0, 1])
     assert (np.asarray(a.d_doc)[2:] == 6).all()
+
+
+def test_word_delta_codec_with_exceptions():
+    """Delta codec round-trip with huge vocab gaps (deltas > 65534 go to
+    the exception list), empty docs, and a doc starting at a big word id."""
+    import jax.numpy as jnp
+
+    from isle_tpu.sparse import (
+        _pad_exceptions,
+        decode_word_deltas,
+        encode_word_deltas,
+    )
+
+    V = 1 << 20
+    rows = np.array(
+        [5, 7, 100_000, 999_999,      # doc 0: two >65534 jumps
+         70_000,                      # doc 2 (doc 1 empty): big absolute
+         1, 2, 3],                    # doc 3: small deltas
+        np.int64,
+    )
+    offsets = np.array([0, 4, 4, 5, 8], np.int64)
+    d16, exc_i, exc_v = encode_word_deltas(rows, offsets)
+    assert len(exc_i) >= 3  # 100000-7, 999999-100000, 70000 abs
+    exc_ip, exc_vp = _pad_exceptions(exc_i, exc_v, len(rows))
+    docs = np.repeat(np.arange(4), np.diff(offsets))
+    starts = offsets[docs].astype(np.int32)
+    dec = decode_word_deltas(
+        jnp.asarray(d16), jnp.asarray(exc_ip), jnp.asarray(exc_vp),
+        jnp.asarray(starts), jnp.ones(len(rows), bool), V,
+    )
+    np.testing.assert_array_equal(np.asarray(dec), rows)
+
+
+def test_word_delta_codec_wraparound():
+    """The int32 running sum may wrap across many docs; within-doc
+    differences must still decode exactly (two's complement)."""
+    import jax.numpy as jnp
+
+    from isle_tpu.sparse import (
+        _pad_exceptions,
+        decode_word_deltas,
+        encode_word_deltas,
+    )
+
+    rng = np.random.default_rng(0)
+    V = 2_000_000_000  # large ids so the global sum exceeds int32 fast
+    D, per = 40, 3
+    rows = np.sort(
+        rng.integers(0, V, (D, per)).astype(np.int64), axis=1
+    ).reshape(-1)
+    offsets = np.arange(0, D * per + 1, per, dtype=np.int64)
+    assert rows.sum() > (1 << 31)  # forces wraparound in the running sum
+    d16, exc_i, exc_v = encode_word_deltas(rows, offsets)
+    exc_ip, exc_vp = _pad_exceptions(exc_i, exc_v, len(rows))
+    docs = np.repeat(np.arange(D), per)
+    starts = offsets[docs].astype(np.int32)
+    dec = decode_word_deltas(
+        jnp.asarray(d16), jnp.asarray(exc_ip), jnp.asarray(exc_vp),
+        jnp.asarray(starts), jnp.ones(len(rows), bool), V,
+    )
+    np.testing.assert_array_equal(np.asarray(dec), rows)
