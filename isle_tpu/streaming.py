@@ -444,6 +444,7 @@ def streamed_topic_model(
     thr = model_thresholds(mass, has_cw, rank_threshold)
     pairs = top_two_topics(mass) if want_top_pairs else None
     W = _contribution_weights(mass, thr, jnp.asarray(cluster_of_doc))
+    del mass  # (D, k) f32 — ~3.3 GB at PubMed scale; W replaces it
 
     model = jnp.zeros((V + 1, k), jnp.float32)
     for lo, hi in chunks:
@@ -612,6 +613,11 @@ class StreamedTrainer:
         sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
         t._checkpoint("kmeans", centers=t.centers,
                       cluster_of_doc=cluster_of_doc)
+        # Free the SVD/k-means device state before the catchword/topic
+        # passes: at PubMed scale B's dense head alone is ~4.3 GB and the
+        # final stages need ~8-9 GB of (D, k) working set — holding both
+        # ran HBM out (observed on the 787M-nnz run).
+        del B, P, U, centers_lowd, centers_full, assign
         self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce)
 
     def _finish(self, corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce):
@@ -632,6 +638,7 @@ class StreamedTrainer:
         is_cw = np.asarray(find_catchwords(thr, hp.rho))
         cwt = catchword_topic_map(is_cw)
         t.catchwords = [np.flatnonzero(is_cw[i]) for i in range(k)]
+        del A_sub, thr  # ~1 GB of filtered-corpus device arrays
         t.timer.next("streamed catchwords")
 
         model, pairs = streamed_topic_model(
