@@ -171,6 +171,18 @@ class Trainer:
         resume_kmeans = "kmeans" in ck
         resume_svd = "svd" in ck
 
+        # Rough in-core device footprint: the dual-sorted A (6 arrays) +
+        # the hybrid head budget + (D, k)-class working sets. Corpora past
+        # this belong in streaming.StreamedTrainer (out-of-core).
+        est = 6 * 4 * self.corpus.nnz + cfg.tpu.dense_head_bytes \
+            + 8 * 4 * D * k
+        if est > 12 << 30:
+            self.logger.warning(
+                f"estimated device footprint ~{est / 2**30:.1f} GiB may "
+                "exceed HBM; consider streaming.StreamedTrainer "
+                "(out-of-core) for this corpus"
+            )
+
         A = DocSparse.from_corpus(self.corpus, chunk=cfg.tpu.spmm_chunk)
         self.timer.next("upload A to device")
 
