@@ -55,7 +55,11 @@ class Inferencer:
         self.model = model.astype(np.float32)
         self.model_mass = self.model.sum(axis=1)
 
-    def infer_corpus(self, corpus: Corpus, doc_begin: int = 1) -> InferResult:
+    def infer_corpus(self, corpus: Corpus, doc_begin: int = 1,
+                     top_n: int = 0) -> InferResult:
+        """top_n > 0 downloads only each doc's top_n weights (the CLI
+        report needs at most 5, drivers/ISLEInfer.cpp:100-111); other
+        entries of InferResult.weights are uniform filler."""
         cfg = self.config
         batch = build_infer_batch(corpus, self.model_mass)
         self.timer.next("pack inference batch")
@@ -76,6 +80,7 @@ class Inferencer:
             Lf=cfg.resolved_Lf(),
             max_guesses=cfg.hyper.infer_max_guesses,
             mesh=mesh,
+            top_n=top_n,
         )
         self.timer.next("MWU inference")
         nconv = int(conv.sum())
@@ -122,7 +127,9 @@ class Inferencer:
             doc_base_offset=doc_begin - 1,
         )
         self.timer.next("load inference data")
-        result = self.infer_corpus(corpus, doc_begin)
+        # The file report needs only the top-5 topics per doc; skip the
+        # full (D, k) weight download.
+        result = self.infer_corpus(corpus, doc_begin, top_n=5)
         if write_outputs:
             # One output file per 1M-doc block, as the reference's parallel
             # inference path does (drivers/ISLEInfer.cpp:66-84).

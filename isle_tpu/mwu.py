@@ -193,6 +193,13 @@ def _mwu_block(Mw, word_idx, a, iters: int, Lf0, max_guesses: int):
     return _mwu_core(Mw, word_idx, a, iters, Lf0, max_guesses)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _block_topn(w, n: int):
+    """Device-side top-n per row (ties break to the lowest index, the
+    same order as a stable descending argsort)."""
+    return jax.lax.top_k(w, n)
+
+
 @partial(jax.jit, static_argnames=("iters", "max_guesses"))
 def _mwu_block_compact(Mw, word_idx, counts, doc_sums, iters: int, Lf0,
                        max_guesses: int):
@@ -211,10 +218,17 @@ def infer_all(
     block_size: int = 0,
     max_guesses: int = 10,
     mesh=None,
+    top_n: int = 0,
 ):
     """Run MWU over every doc. Returns (weights (D, k), converged (D,),
     llh_per_doc (D,), llh_weighted (D,)). Unconverged docs keep uniform
     weights and zero llh (drivers/ISLEInfer.cpp:95-111 behavior).
+
+    With top_n > 0, only each doc's top_n weights download from the
+    device (the reference CLI writes at most the top 5 per doc,
+    drivers/ISLEInfer.cpp:100-111) — the rest of each returned row is
+    uniform 1/k filler. At 300k docs the full (D, k) readback is ~120 MB
+    on this link; the top-5 form is ~7 MB.
 
     With `mesh` (a 1-D jax Mesh), each block's doc rows shard across the
     mesh and the model replicates — the multi-chip form of the reference's
@@ -223,6 +237,7 @@ def infer_all(
     collectives; results are identical to the single-device path."""
     V, k = model.shape
     D, L = batch.word_idx.shape
+    top_n = min(top_n, k)
     Mw = jnp.concatenate(
         [jnp.asarray(model, jnp.float32), jnp.zeros((1, k), jnp.float32)]
     )
@@ -286,7 +301,9 @@ def infer_all(
                     Mw, jnp.asarray(wi), jnp.asarray(cn), jnp.asarray(ds),
                     iters, Lf0, max_guesses,
                 )
-                pending.append((idx, bs, w, c, s))
+                pending.append(
+                    (idx, bs, _block_topn(w, top_n) if top_n else w, c, s)
+                )
                 continue
             else:
                 av = batch.a[idx, :edge]
@@ -301,12 +318,20 @@ def infer_all(
                     Mw, jnp.asarray(wi), jnp.asarray(av), iters, Lf0,
                     max_guesses,
                 )
-            pending.append((idx, bs, w, c, s))
+            pending.append(
+                (idx, bs, _block_topn(w, top_n) if top_n else w, c, s)
+            )
     # One pipeline flush instead of a sync per block: dispatch is async,
     # so all uploads/compute/downloads overlap and the per-block readback
     # round-trips (~0.1-0.5 s each on this tunnel) collapse.
     for idx, bs, w, c, s in pending:
-        weights[idx] = np.asarray(w)[:bs]
+        if top_n:
+            tv, ti = (np.asarray(x)[:bs] for x in w)
+            rows = np.full((bs, k), 1.0 / k, np.float32)
+            np.put_along_axis(rows, ti.astype(np.int64), tv, axis=1)
+            weights[idx] = rows
+        else:
+            weights[idx] = np.asarray(w)[:bs]
         conv[idx] = np.asarray(c)[:bs]
         s_all[idx] = np.asarray(s)[:bs]
     llh_doc = np.where(conv, s_all * np.float32(batch.avg_doc_sz), 0.0)

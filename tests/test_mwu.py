@@ -143,3 +143,31 @@ def test_compact_blocks_match_f32_blocks():
     np.testing.assert_array_equal(w1, w2)
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_array_equal(lw1, lw2)
+
+
+def test_top_n_matches_full_weights():
+    """top_n mode must reproduce the full path's top entries exactly and
+    yield the identical top-topics report."""
+    rng = np.random.default_rng(13)
+    V, D, k = 80, 23, 6
+    M = make_model(rng, V, k)
+    docs = np.repeat(np.arange(D), 7)
+    words = rng.integers(0, V, 7 * D)
+    order = np.lexsort((words, docs))
+    corpus = Corpus.from_entries(
+        docs[order], words[order], rng.integers(1, 5, 7 * D)[order],
+        vocab_size=V, num_docs=D, normalize_to_one=True,
+    )
+    batch = build_infer_batch(corpus, M.sum(axis=1))
+    w_full, c1, l1, _ = infer_all(M, batch, 15, 10.0)
+    w_top, c2, l2, _ = infer_all(M, batch, 15, 10.0, top_n=3)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(l1, l2)
+    for d in range(D):
+        if not c1[d]:
+            continue
+        full_top = np.argsort(-w_full[d], kind="stable")[:3]
+        expected = np.full(k, np.float32(1.0 / k), np.float32)
+        expected[full_top] = w_full[d][full_top]
+        np.testing.assert_array_equal(w_top[d], expected)
+        assert np.argmax(w_top[d]) == np.argmax(w_full[d])
