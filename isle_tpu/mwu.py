@@ -63,23 +63,21 @@ def build_infer_batch(corpus, model_mass: np.ndarray, pad_to: int = 8) -> InferB
     D, V = corpus.num_docs, corpus.vocab_size
     keep = model_mass[rows] > 1e-10
     lengths = np.diff(offsets)
-    kept_len = np.add.reduceat(
-        keep.astype(np.int64), np.minimum(offsets[:-1], max(len(rows) - 1, 0))
-    ) if len(rows) else np.zeros(D, np.int64)
-    if len(rows):
-        kept_len[lengths == 0] = 0
+    # kept-prefix sums; cumsum over int32, NOT bool (numpy's bool cumsum
+    # is ~15x slower at this scale)
+    csum = np.cumsum(keep.astype(np.int32))
+    csum_ext = np.concatenate([[0], csum])
+    kept_len = csum_ext[offsets[1:]] - csum_ext[offsets[:-1]]
     L = int(max(kept_len.max() if D else 0, 1))
     L = ((L + pad_to - 1) // pad_to) * pad_to
     assert L < MAX_NNZS, f"doc with {L} nnz exceeds MAX_NNZS={MAX_NNZS}"
 
     word_idx = np.full((D, L), V, np.int32)
     a = np.zeros((D, L), np.float32)
-    doc_ids = np.repeat(np.arange(D), lengths)
-    within = np.zeros(len(rows), np.int64)
-    # position within the doc among KEPT entries
-    csum = np.cumsum(keep)
-    start_csum = np.concatenate([[0], csum])[offsets[:-1]]
-    within = csum - 1 - np.repeat(start_csum, lengths)
+    doc_ids = np.repeat(np.arange(D, dtype=np.int32), lengths)
+    # position within the doc among KEPT entries (gather beats a second
+    # varying-length repeat)
+    within = csum - 1 - csum_ext[offsets[:-1]][doc_ids]
     kd = doc_ids[keep]
     kw = within[keep]
     word_idx[kd, kw] = rows[keep]
