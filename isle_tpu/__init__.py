@@ -5,6 +5,7 @@ Public surface:
     Corpus, EntryFeeder        — host-side ingest (corpus.py)
     TrainConfig, InferConfig, HyperParams, TpuConfig — configuration
     Trainer                    — end-to-end training pipeline (trainer.py)
+    StreamedTrainer            — out-of-core training (streaming.py)
     Inferencer                 — batched MWU inference (inferencer.py)
 """
 
@@ -19,6 +20,7 @@ __all__ = [
     "Corpus",
     "EntryFeeder",
     "Trainer",
+    "StreamedTrainer",
     "Inferencer",
 ]
 
@@ -29,6 +31,10 @@ def __getattr__(name):
         from .trainer import Trainer
 
         return Trainer
+    if name == "StreamedTrainer":
+        from .streaming import StreamedTrainer
+
+        return StreamedTrainer
     if name == "Inferencer":
         from .inferencer import Inferencer
 
