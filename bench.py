@@ -91,7 +91,12 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
         d, w, c, vocab_size=shape["vocab"], num_docs=shape["docs"],
         sort_dedup=True,
     )
-    cfg = TrainConfig(num_topics=shape["k"], seed=seed)
+    # Edge topics on, as the BASELINE primary config specifies
+    # (NYTimes k=100 + edge topics max 2000).
+    cfg = TrainConfig(
+        num_topics=shape["k"], seed=seed,
+        compute_edge_topics=True, max_edge_topics=2000,
+    )
     out_dir = os.path.join("/tmp", f"isle_bench_{platform}")
     tr = Trainer(cfg, output_dir=out_dir, quiet=True)
     tr.corpus = corpus
@@ -99,6 +104,7 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
 
     t0 = time.perf_counter()
     tr.train()
+    tr.train_edge_topics()
     cold_s = time.perf_counter() - t0
     for label, wall, cpu in tr.timer.phases:
         print(f"#   cold phase {label}: {wall:.2f}s", file=sys.stderr)
@@ -114,6 +120,7 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
         tr2._post_ingest()
         t0 = time.perf_counter()
         tr2.train()
+        tr2.train_edge_topics()
         train_s = time.perf_counter() - t0
         for label, wall, cpu in tr2.timer.phases:
             print(f"#   warm phase {label}: {wall:.2f}s", file=sys.stderr)

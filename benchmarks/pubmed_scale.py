@@ -107,6 +107,8 @@ def main():
         num_topics=PUBMED["k"],
         sample_docs=True,
         sample_rate=0.1,
+        compute_edge_topics=True,  # BASELINE scale config: + edge topics
+        max_edge_topics=2000,
         seed=0,
     )
     out = f"/tmp/isle_pubmed_s{args.scale}"
@@ -118,6 +120,7 @@ def main():
 
     t0 = time.perf_counter()
     tr.train(resume=not args.fresh)
+    tr.train_edge_topics()
     train_s = time.perf_counter() - t0
     for label, wall, cpu in tr.timer.phases:
         print(f"#   phase {label}: {wall:.2f}s", flush=True)
