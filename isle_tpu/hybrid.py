@@ -304,11 +304,14 @@ def _tail_gather_octsum(
     X: jax.Array,
     num_segments: int,
     chunk: int,
+    init: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Two-level sorted segment sum: gather rows, 8-to-1 reshape-reduce,
     then a scatter-add of octet sums. vals=None skips the per-entry
     multiply (factored mode: the scale lives in the gathered operand or
-    is applied to the output)."""
+    is applied to the output). `init` overrides the zero accumulator —
+    shard_map callers pass a device-varying zeros so the scan carry types
+    match."""
     n = gather_idx.shape[0]
     chunk = min(chunk, n)
     assert n % chunk == 0
@@ -338,9 +341,9 @@ def _tail_gather_octsum(
 
         xs = (gi, vv, os)
 
-    out, _ = jax.lax.scan(
-        body, jnp.zeros((num_segments + 1, W), dtype=X.dtype), xs
-    )
+    if init is None:
+        init = jnp.zeros((num_segments + 1, W), dtype=X.dtype)
+    out, _ = jax.lax.scan(body, init, xs)
     return out
 
 

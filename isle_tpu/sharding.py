@@ -806,3 +806,222 @@ def sharded_spmm_flops(ssp: ShardedDocSparse, width: int) -> int:
     """FLOPs of one sharded bt_x or b_y (2*nnz*width; matches
     sparse.spmm_flops for the op counter)."""
     return 2 * ssp.nnz * width
+
+
+# ---------------------------------------------------------------------------
+# Sharded value-factored hybrid layout: the optimized SpMM engine
+# (hybrid.py's bf16 binary head + octet tails) on the mesh. Head words are
+# selected GLOBALLY (psum'd counts) so the psum'd B·Y semantics hold; each
+# shard stores its local (R, docs_per_shard) head slab and its local tails
+# padded to the cross-shard maximum (shard_map needs uniform shapes).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedHybrid:
+    """Doc-sharded factored hybrid of a thresholded B: every nonzero of
+    row w equals row_scale[w] (sqrt zeta)."""
+
+    head_words: jax.Array  # (R,) int32, replicated
+    head: jax.Array  # (S, R, dps) bfloat16 binary, doc-sharded
+    td_word: jax.Array  # (S, Nt) doc-sorted tail word ids (pad vocab)
+    td_odoc: jax.Array  # (S, Nt/8) per-octet LOCAL doc ids (pad dps)
+    tw_doc: jax.Array  # (S, Nw) word-sorted tail LOCAL doc ids (pad dps)
+    tw_oword: jax.Array  # (S, Nw/8) per-octet word ids (pad vocab)
+    row_scale: jax.Array  # (vocab,) float32, replicated
+    vocab: int = dataclasses.field(metadata=dict(static=True))
+    docs_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    num_docs: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    valid_docs: Optional[Tuple[int, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+
+    @property
+    def num_shards(self) -> int:
+        return self.head.shape[0]
+
+    @property
+    def num_head(self) -> int:
+        return self.head_words.shape[0]
+
+
+def shard_hybrid(
+    ssp: ShardedDocSparse,
+    row_scale,
+    mesh: Mesh,
+    head_budget_bytes: int,
+    chunk: int = 1 << 18,
+) -> ShardedHybrid:
+    """Build the sharded factored layout from a (post-threshold) sharded
+    B. Mirrors hybrid.to_hybrid per shard with a GLOBAL head selection."""
+    from .hybrid import _oseg_from_offsets, _pad8_plan, max_head_rows
+
+    V, dps = ssp.vocab, ssp.docs_per_shard
+    S = ssp.num_shards
+    row_scale = jnp.asarray(row_scale, jnp.float32)
+
+    # Global per-word counts (psum) -> head selection, replicated.
+    def counts_f(ww):
+        c = jax.ops.segment_sum(
+            (ww[0] < V).astype(jnp.int32), ww[0], num_segments=V + 1,
+            indices_are_sorted=True,
+        )[:V]
+        return jax.lax.psum(c, AXIS)
+
+    counts = jax.shard_map(
+        counts_f, mesh=mesh, in_specs=(P(AXIS),), out_specs=P()
+    )(ssp.w_word)
+    num_head = int(min(
+        V, max(8, head_budget_bytes // max(2 * dps * S, 1)),
+        max_head_rows(dps),
+    ))
+    _, head_words = jax.lax.top_k(counts, num_head)
+    head_words = jnp.sort(head_words).astype(jnp.int32)
+    is_head = jnp.zeros((V + 1,), bool).at[head_words].set(True)
+    rankx = jnp.full((V + 1,), -1, jnp.int32).at[head_words].set(
+        jnp.arange(num_head, dtype=jnp.int32)
+    )
+
+    # Plan pass: per-shard padded tail sizes (host max fixes statics).
+    def plan_f(dw, dd, ww, ih):
+        mask_d = (dw[0] < V) & ~ih[dw[0]]
+        mask_w = (ww[0] < V) & ~ih[ww[0]]
+        _, padded_d, _ = _pad8_plan(mask_d, dd[0], dps)
+        _, padded_w, _ = _pad8_plan(mask_w, ww[0], V)
+        return (jnp.sum(padded_d)[None], jnp.sum(padded_w)[None],
+                jnp.sum(mask_d.astype(jnp.int32))[None])
+
+    nts, nws, tails = jax.shard_map(
+        plan_f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),),
+        out_specs=(P(AXIS),) * 3,
+    )(ssp.d_word, ssp.d_doc, ssp.w_word, is_head)
+    Nt = int(np.asarray(nts).max(initial=0))
+    Nw = int(np.asarray(nws).max(initial=0))
+    tail_nnz = int(np.asarray(tails).sum())
+    Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
+    Nw_pad = max(((Nw + chunk - 1) // chunk) * chunk, chunk)
+
+    # Build pass: per-shard head slab + compacted tails at uniform shapes.
+    def build_f(dw, dd, ww, wd, ih, rkx):
+        w, d = dw[0], dd[0]
+        r = rkx[w]
+        hmask = (w < V) & (r >= 0)
+        rr = jnp.where(hmask, r, num_head)
+        cc = jnp.where(hmask, d, dps)
+        flat = rr * jnp.int32(dps + 1) + cc
+        H = jnp.zeros(((num_head + 1) * (dps + 1),), jnp.bfloat16)
+        H = H.at[flat].set(jnp.bfloat16(1.0))
+        H = H.reshape(num_head + 1, dps + 1)[:num_head, :dps]
+
+        mask_d = (w < V) & ~ih[w]
+        pos_d, _, off_d = _pad8_plan(mask_d, d, dps)
+        td_w = jnp.full((Nt_pad,), V, jnp.int32).at[pos_d].set(
+            w, mode="drop"
+        )
+        td_o = _oseg_from_offsets(off_d, Nt_pad)
+
+        wl, dl = ww[0], wd[0]
+        mask_w = (wl < V) & ~ih[wl]
+        pos_w, _, off_w = _pad8_plan(mask_w, wl, V)
+        tw_d = jnp.full((Nw_pad,), dps, jnp.int32).at[pos_w].set(
+            dl, mode="drop"
+        )
+        tw_o = _oseg_from_offsets(off_w, Nw_pad)
+        return H[None], td_w[None], td_o[None], tw_d[None], tw_o[None]
+
+    head, td_word, td_odoc, tw_doc, tw_oword = jax.shard_map(
+        build_f, mesh=mesh, in_specs=(P(AXIS),) * 4 + (P(), P()),
+        out_specs=(P(AXIS),) * 5,
+    )(ssp.d_word, ssp.d_doc, ssp.w_word, ssp.w_doc, is_head, rankx)
+
+    return ShardedHybrid(
+        head_words=head_words,
+        head=head,
+        td_word=td_word,
+        td_odoc=td_odoc,
+        tw_doc=tw_doc,
+        tw_oword=tw_oword,
+        row_scale=row_scale,
+        vocab=V,
+        docs_per_shard=dps,
+        num_docs=ssp.num_docs,
+        nnz=ssp.nnz,
+        valid_docs=ssp.valid_docs,
+    )
+
+
+def _local_h_bt_x(h: ShardedHybrid, head, td_w, td_o, X):
+    """Per-shard B^T X block (local docs; X replicated). All operands are
+    the shard-local (unbatched) arrays."""
+    from .hybrid import _tail_gather_octsum
+
+    dps = h.docs_per_shard
+    Xs = X[: h.vocab] * h.row_scale[:, None]
+    Xh = Xs[h.head_words]  # (R, W)
+    out_head = jax.lax.dot_general(
+        head, Xh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (dps, W)
+    chunk = min(1 << 18, td_w.shape[0])
+    init = _pvary(jnp.zeros((dps + 1, X.shape[1]), X.dtype))
+    tail = _tail_gather_octsum(td_w, None, td_o, Xs, dps, chunk, init=init)
+    return tail[:dps] + out_head
+
+
+def _local_h_b_y_partial(h: ShardedHybrid, head, tw_d, tw_o, Y):
+    """Per-shard partial of B Y (psum across shards recovers the full
+    (vocab, W) product). Y is the shard's local (dps, W) block."""
+    from .hybrid import _tail_gather_octsum
+
+    V = h.vocab
+    chunk = min(1 << 18, tw_d.shape[0])
+    init = _pvary(jnp.zeros((V + 1, Y.shape[1]), Y.dtype))
+    out = _tail_gather_octsum(tw_d, None, tw_o, Y, V, chunk, init=init)[:V]
+    out = out * h.row_scale[:, None]
+    head_out = jnp.matmul(
+        head.astype(jnp.float32), Y, precision=jax.lax.Precision.HIGHEST
+    ) if head.dtype != jnp.bfloat16 else jax.lax.dot_general(
+        head, Y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    head_out = head_out * h.row_scale[h.head_words][:, None]
+    return out.at[h.head_words].add(head_out)
+
+
+def sharded_h_bt_x(h: ShardedHybrid, X: jax.Array, mesh: Mesh) -> jax.Array:
+    """(S, dps, W) doc-sharded B^T X; X replicated."""
+
+    def f(head, td_w, td_o, X):
+        return _local_h_bt_x(h, head[0], td_w[0], td_o[0], X)[None]
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),), out_specs=P(AXIS)
+    )(h.head, h.td_word, h.td_odoc, X)
+
+
+def sharded_h_b_y(h: ShardedHybrid, Y: jax.Array, mesh: Mesh) -> jax.Array:
+    """Y: (S, dps, W) doc-sharded -> (vocab, W) replicated via psum."""
+
+    def f(head, tw_d, tw_o, Y):
+        part = _local_h_b_y_partial(h, head[0], tw_d[0], tw_o[0], Y[0])
+        return jax.lax.psum(part, AXIS)
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=P()
+    )(h.head, h.tw_doc, h.tw_oword, Y)
+
+
+def sharded_h_gram_x(h: ShardedHybrid, X: jax.Array, mesh: Mesh) -> jax.Array:
+    """(B B^T) X on the mesh with the factored-hybrid engine — head
+    products on the MXU, one psum per product."""
+
+    def f(head, td_w, td_o, tw_d, tw_o, X):
+        local = _local_h_bt_x(h, head[0], td_w[0], td_o[0], X)
+        part = _local_h_b_y_partial(h, head[0], tw_d[0], tw_o[0], local)
+        return jax.lax.psum(part, AXIS)
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS),) * 5 + (P(),), out_specs=P()
+    )(h.head, h.td_word, h.td_odoc, h.tw_doc, h.tw_oword, X)

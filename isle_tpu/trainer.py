@@ -540,6 +540,29 @@ class Trainer:
         )
         self.timer.next("creating thresholded and scaled matrix (sharded)")
 
+        # Factored hybrid layout per shard (global head selection; the
+        # optimized SpMM engine for the eigensolver/projection; see
+        # sharding.shard_hybrid). B's values are sqrt(zeta) per row.
+        B_op = B
+        op_gram = lambda B_, X: sharded_gram_x(B_, X, mesh)
+        op_bt_x = lambda B_, U_: sharded_bt_x(B_, U_, mesh)
+        if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
+            from .sharding import (
+                shard_hybrid,
+                sharded_h_bt_x,
+                sharded_h_gram_x,
+            )
+
+            B_op = shard_hybrid(
+                B, jnp.sqrt(zetas), mesh, cfg.tpu.dense_head_bytes
+            )
+            op_gram = lambda B_, X: sharded_h_gram_x(B_, X, mesh)
+            op_bt_x = lambda B_, U_: sharded_h_bt_x(B_, U_, mesh)
+            self.logger.diag(
+                f"sharded hybrid layout: {B_op.num_head} global head rows"
+            )
+            self.timer.next("hybrid layout (sharded)")
+
         # 4-5. truncated SVD of B B^T: psum'd Gram operator on the mesh
         key, sub = jax.random.split(key)
         blk = hp.block_ks_block_size
@@ -560,10 +583,10 @@ class Trainer:
                 )
                 op_width = blk
             res = solver(
-                lambda B_, X: sharded_gram_x(B_, X, mesh),
+                op_gram,
                 V,
                 k,
-                op_data=B,
+                op_data=B_op,
                 tol=hp.block_ks_tolerance,
                 max_restarts=hp.block_ks_max_iters,
                 key=sub,
@@ -590,7 +613,7 @@ class Trainer:
         self.timer.next("eigen solve (B B^T, sharded)")
 
         # 6. projected docs P = U^T B (replicated k x nzB — tiny)
-        P = compact_doc_rows(sharded_bt_x(B, U, mesh), B).T
+        P = compact_doc_rows(op_bt_x(B_op, U), B).T
         self.timer.next("project docs")
 
         # 7. seeding + projected Lloyd's (replicated dense MXU work)

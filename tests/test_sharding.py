@@ -113,3 +113,66 @@ def test_sharded_rth_matches_single(problem):
         rth_highest(sp, jnp.asarray(cluster), jnp.asarray(sizes), k, 2)
     )
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def hybrid_problem():
+    """Row-constant values (the factored-layout premise: every nonzero of
+    row w equals scale[w], as in the thresholded B)."""
+    from isle_tpu.sharding import shard_hybrid
+
+    rng = np.random.default_rng(7)
+    V, D = 60, 100
+    mask = rng.random((V, D)) < 0.25
+    # skew some rows heavy so head selection is non-trivial
+    mask[:8, :] = rng.random((8, D)) < 0.8
+    w, d = np.nonzero(mask)
+    order = np.lexsort((w, d))
+    w, d = w[order], d[order]
+    scale = (rng.random(V).astype(np.float32) + 0.5)
+    v = scale[w]
+    sp = DocSparse.build(w, d, v, V, D, chunk=1024)
+    mesh = make_mesh()
+    ssp = shard_doc_sparse(w, d, v, V, D, mesh, pad_multiple=64)
+    # head budget for ~V//3 rows
+    budget = 2 * ssp.docs_per_shard * ssp.num_shards * (V // 3)
+    h = shard_hybrid(ssp, scale, mesh, budget, chunk=64)
+    assert 0 < h.num_head < V  # real head AND real tail
+    return sp, ssp, h, mesh, (V, D)
+
+
+def test_sharded_hybrid_bt_x_matches(hybrid_problem):
+    from isle_tpu.sharding import sharded_h_bt_x
+
+    sp, ssp, h, mesh, (V, D) = hybrid_problem
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.standard_normal((V, 8)).astype(np.float32))
+    ref = np.asarray(bt_x(sp, X))
+    got = np.asarray(sharded_h_bt_x(h, X, mesh)).reshape(-1, 8)[:D]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hybrid_b_y_matches(hybrid_problem):
+    from isle_tpu.sharding import sharded_h_b_y
+
+    sp, ssp, h, mesh, (V, D) = hybrid_problem
+    rng = np.random.default_rng(12)
+    S, dps = ssp.num_shards, ssp.docs_per_shard
+    Yg = rng.standard_normal((S * dps, 4)).astype(np.float32)
+    Yg[D:] = 0.0
+    ref = np.asarray(b_y(sp, jnp.asarray(Yg[:D])))
+    got = np.asarray(
+        sharded_h_b_y(h, jnp.asarray(Yg.reshape(S, dps, 4)), mesh)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hybrid_gram_matches(hybrid_problem):
+    from isle_tpu.sharding import sharded_h_gram_x
+
+    sp, ssp, h, mesh, (V, D) = hybrid_problem
+    rng = np.random.default_rng(13)
+    X = jnp.asarray(rng.standard_normal((V, 8)).astype(np.float32))
+    ref = np.asarray(gram_x(sp, X))
+    got = np.asarray(sharded_h_gram_x(h, X, mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
