@@ -689,9 +689,33 @@ def sharded_threshold_and_copy(
     return B, original_cols
 
 
-def sharded_doc_l2sq(ssp: ShardedDocSparse, mesh: Mesh) -> jax.Array:
-    """Per-doc squared l2 norms, doc-sharded (S, dps)."""
+def sharded_doc_l2sq(ssp, mesh: Mesh) -> jax.Array:
+    """Per-doc squared l2 norms, doc-sharded (S, dps). Accepts the COO or
+    the factored-hybrid sharded layout."""
     dps = ssp.docs_per_shard
+
+    if isinstance(ssp, ShardedHybrid):
+        V = ssp.vocab
+        s2 = ssp.row_scale * ssp.row_scale
+        s2p = jnp.concatenate([s2, jnp.zeros((1,), jnp.float32)])
+
+        def fh(head, td_w, td_o, s2, s2p):
+            head_l2 = jax.lax.dot_general(
+                head[0], s2[ssp.head_words][:, None],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, 0]  # (dps,)
+            v2 = s2p[jnp.minimum(td_w[0], V)]
+            octs = jnp.sum(v2.reshape(-1, 8), axis=1)
+            tail = _pvary(jnp.zeros((dps + 1,), jnp.float32)).at[
+                td_o[0]
+            ].add(octs, indices_are_sorted=True)
+            return (head_l2 + tail[:dps])[None]
+
+        return jax.shard_map(
+            fh, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(), P()),
+            out_specs=P(AXIS),
+        )(ssp.head, ssp.td_word, ssp.td_odoc, s2, s2p)
 
     def f(doc, val):
         out = jax.ops.segment_sum(
@@ -702,6 +726,47 @@ def sharded_doc_l2sq(ssp: ShardedDocSparse, mesh: Mesh) -> jax.Array:
     return jax.shard_map(
         f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)
     )(ssp.d_doc, ssp.d_val)
+
+
+def make_sharded_h_lloyds_step(h, mesh: Mesh, k: int):
+    """Hybrid-layout form of make_sharded_lloyds_step (same collective
+    pattern; head products on the MXU)."""
+    vocab, dps = h.vocab, h.docs_per_shard
+
+    def step(h, centers, docs_l2, nzd):
+        def f(head, td_w, td_o, tw_d, tw_o, dl2, nzd_s, centers):
+            dots = _local_h_bt_x(h, head[0], td_w[0], td_o[0], centers.T)
+            c_l2 = jnp.sum(centers * centers, axis=1)
+            dist = dl2[0][:, None] + c_l2[None, :] - 2.0 * dots
+            assign = jnp.argmin(dist, axis=1).astype(jnp.int32)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (dps, 1), 0)[:, 0]
+                < nzd_s[0, 0]
+            )
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            onehot = onehot * valid[:, None].astype(jnp.float32)
+            sums = jax.lax.psum(
+                _local_h_b_y_partial(h, head[0], tw_d[0], tw_o[0], onehot),
+                AXIS,
+            )
+            counts = jax.lax.psum(jnp.sum(onehot, axis=0), AXIS)
+            new_centers = jnp.where(
+                counts[None, :] > 0, sums / counts[None, :], 0.0
+            ).T
+            assign = jnp.where(valid, assign, -1)
+            return assign[None], new_centers
+
+        return jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 7 + (P(),),
+            out_specs=(P(AXIS), P()),
+        )(
+            h.head, h.td_word, h.td_odoc, h.tw_doc, h.tw_oword,
+            docs_l2, nzd, centers,
+        )
+
+    return jax.jit(step)
 
 
 def make_sharded_lloyds_step(ssp: ShardedDocSparse, mesh: Mesh, k: int):
@@ -749,22 +814,26 @@ def make_sharded_lloyds_step(ssp: ShardedDocSparse, mesh: Mesh, k: int):
 
 
 def sharded_run_lloyds_full(
-    ssp: ShardedDocSparse,
+    ssp,
     centers: jax.Array,
     max_reps: int,
     mesh: Mesh,
     timer=None,
 ) -> Tuple[jax.Array, np.ndarray]:
-    """Full-space Lloyd's on the mesh to membership convergence. Returns
-    (centers (k, vocab) replicated, assign: GLOBAL (num_docs,) host array
-    in B-doc order)."""
+    """Full-space Lloyd's on the mesh to membership convergence. Accepts
+    the COO or factored-hybrid sharded layout. Returns (centers
+    (k, vocab) replicated, assign: GLOBAL (num_docs,) host array in
+    B-doc order)."""
     k = centers.shape[0]
     docs_l2 = sharded_doc_l2sq(ssp, mesh)
     nzd = jax.device_put(
         np.asarray(ssp.valid_per_shard(), np.int32)[:, None],
         NamedSharding(mesh, P(AXIS)),
     )
-    step = make_sharded_lloyds_step(ssp, mesh, k)
+    if isinstance(ssp, ShardedHybrid):
+        step = make_sharded_h_lloyds_step(ssp, mesh, k)
+    else:
+        step = make_sharded_lloyds_step(ssp, mesh, k)
     prev = None
     assign = None
     for rep in range(max_reps):
@@ -845,6 +914,14 @@ class ShardedHybrid:
     @property
     def num_head(self) -> int:
         return self.head_words.shape[0]
+
+    def valid_per_shard(self) -> np.ndarray:
+        if self.valid_docs is not None:
+            return np.asarray(self.valid_docs)
+        S, dps = self.num_shards, self.docs_per_shard
+        return np.clip(
+            self.num_docs - np.arange(S) * dps, 0, dps
+        ).astype(np.int64)
 
 
 def shard_hybrid(

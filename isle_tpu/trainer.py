@@ -641,7 +641,7 @@ class Trainer:
 
         # 8. Lloyd's on B in the full vocab space (sharded)
         centers_full, assign_h = sharded_run_lloyds_full(
-            B, centers_full, hp.max_kmeans_reps, mesh, timer=self.timer
+            B_op, centers_full, hp.max_kmeans_reps, mesh, timer=self.timer
         )
         self.centers = np.asarray(centers_full)
         self.timer.next("k-means on B (sharded)")

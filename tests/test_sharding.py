@@ -176,3 +176,17 @@ def test_sharded_hybrid_gram_matches(hybrid_problem):
     ref = np.asarray(gram_x(sp, X))
     got = np.asarray(sharded_h_gram_x(h, X, mesh))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hybrid_lloyds_matches_coo(hybrid_problem):
+    from isle_tpu.sharding import sharded_run_lloyds_full
+
+    sp, ssp, h, mesh, (V, D) = hybrid_problem
+    rng = np.random.default_rng(21)
+    k = 4
+    centers = jnp.asarray(rng.standard_normal((k, V)).astype(np.float32))
+    c1, a1 = sharded_run_lloyds_full(ssp, centers, 5, mesh)
+    c2, a2 = sharded_run_lloyds_full(h, centers, 5, mesh)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=1e-4, atol=1e-5)
