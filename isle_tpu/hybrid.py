@@ -349,14 +349,18 @@ def _tail_gather_octsum(
 
 def _head_dot(head: jax.Array, other: jax.Array, transpose: bool) -> jax.Array:
     """head @ other (or head^T @ other with transpose=True). The factored
-    head is bf16 binary; the mixed bf16 x f32 dot upcasts to f32 on the
-    MXU — exact for 0/1 head entries — while streaming the head at
-    2 bytes/cell."""
+    head is bf16 binary (0/1 exact); precision must be HIGHEST so the f32
+    operand is pass-decomposed on the MXU — at DEFAULT precision real TPU
+    hardware truncates the f32 side to bf16 (measured 1.6e-3 rel-norm
+    operator error; the CPU backend computes the mixed dot exactly, which
+    is why only on-hardware checks catch it). HIGHEST costs nothing here:
+    the op is HBM-bound streaming the 2-byte head."""
     contract = (0,) if transpose else (1,)
     return jax.lax.dot_general(
         head,
         other,
         ((contract, (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 

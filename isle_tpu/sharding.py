@@ -703,6 +703,7 @@ def sharded_doc_l2sq(ssp, mesh: Mesh) -> jax.Array:
             head_l2 = jax.lax.dot_general(
                 head[0], s2[ssp.head_words][:, None],
                 (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,  # see hybrid._head_dot
                 preferred_element_type=jnp.float32,
             )[:, 0]  # (dps,)
             v2 = s2p[jnp.minimum(td_w[0], V)]
@@ -1039,6 +1040,7 @@ def _local_h_bt_x(h: ShardedHybrid, head, td_w, td_o, X):
     Xh = Xs[h.head_words]  # (R, W)
     out_head = jax.lax.dot_general(
         head, Xh, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,  # see hybrid._head_dot
         preferred_element_type=jnp.float32,
     )  # (dps, W)
     chunk = min(1 << 18, td_w.shape[0])
@@ -1057,10 +1059,9 @@ def _local_h_b_y_partial(h: ShardedHybrid, head, tw_d, tw_o, Y):
     init = _pvary(jnp.zeros((V + 1, Y.shape[1]), Y.dtype))
     out = _tail_gather_octsum(tw_d, None, tw_o, Y, V, chunk, init=init)[:V]
     out = out * h.row_scale[:, None]
-    head_out = jnp.matmul(
-        head.astype(jnp.float32), Y, precision=jax.lax.Precision.HIGHEST
-    ) if head.dtype != jnp.bfloat16 else jax.lax.dot_general(
+    head_out = jax.lax.dot_general(
         head, Y, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,  # see hybrid._head_dot
         preferred_element_type=jnp.float32,
     )
     head_out = head_out * h.row_scale[h.head_words][:, None]
