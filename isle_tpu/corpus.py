@@ -106,21 +106,21 @@ class Corpus:
             ds[:] = s
         return ds
 
-    def vals_match(self, expected_fn, sample: int = 1024) -> bool:
-        """True when `vals` equals `expected_fn(sampled counts, sampled
-        doc_sums)` bitwise on an evenly spaced sample — the guard the
-        compact device-rebuild paths use before recomputing values from
-        raw counts on device."""
+    def vals_match(self, expected_fn) -> bool:
+        """True when `vals` equals `expected_fn(counts, per-entry
+        doc_sums)` bitwise on EVERY entry — the guard the compact
+        device-rebuild paths use before recomputing values from raw
+        counts on device. Checked in full (one vectorized pass, cheap
+        next to the upload it guards): Corpus is a plain dataclass whose
+        vals callers can replace, and a sampled check could pass while
+        unsampled entries differ."""
         if self.counts is None or self.nnz == 0:
             return False
         ds = self.doc_sums()
-        idx = np.unique(np.linspace(
-            0, self.nnz - 1, num=min(sample, self.nnz)
-        ).astype(np.int64))
-        dix = np.searchsorted(self.offsets, idx, side="right") - 1
-        expect = expected_fn(self.counts[idx], ds[dix])
+        per_entry = np.repeat(ds, np.diff(self.offsets).astype(np.int64))
+        expect = expected_fn(self.counts, per_entry)
         return bool(np.array_equal(
-            expect.astype(np.float32), self.vals[idx].astype(np.float32)
+            expect.astype(np.float32), self.vals.astype(np.float32)
         ))
 
     @staticmethod

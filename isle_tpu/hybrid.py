@@ -49,8 +49,12 @@ _INT32_FLAT_CAP = (1 << 31) - (1 << 20)
 
 
 def max_head_rows(num_docs: int) -> int:
-    """Largest head row count whose flat scatter index stays in int32."""
-    return max(_INT32_FLAT_CAP // (num_docs + 1) - 1, 8)
+    """Largest head row count whose flat scatter index stays in int32.
+
+    Can be < 8 (even 0) for num_docs beyond ~238M — callers must skip the
+    hybrid layout then (the old floor of 8 would silently wrap the int32
+    flat index rr*(num_docs+1)+dd and corrupt the head build)."""
+    return max(_INT32_FLAT_CAP // (num_docs + 1) - 1, 0)
 
 
 @jax.tree_util.register_dataclass
@@ -243,7 +247,14 @@ def to_hybrid(
     binary head, no tail value arrays (see HybridSparse docstring). The
     caller guarantees sp's nonzeros satisfy val == row_scale[word]."""
     V, D = sp.vocab, sp.num_docs
-    num_head = int(min(num_head, V, max_head_rows(D)))
+    cap = max_head_rows(D)
+    if cap < 8:
+        raise ValueError(
+            f"num_docs={D} exceeds the int32 flat-scatter head capacity "
+            f"(max_head_rows={cap}); disable the dense head "
+            "(dense_head_bytes=0) or shard the docs axis"
+        )
+    num_head = int(min(num_head, V, cap))
     head_words, is_head, rank = _head_select(sp, num_head)
 
     if row_scale is None:
@@ -597,12 +608,15 @@ def hybrid_from_thresholds(
     nz_docs = int(jnp.sum(occ))
     original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
 
-    num_head = int(
-        min(
-            V,
-            max(8, head_budget_bytes // max(2 * nz_docs, 1)),
-            max_head_rows(nz_docs),
+    cap = max_head_rows(nz_docs)
+    if cap < 8:
+        raise ValueError(
+            f"nz_docs={nz_docs} exceeds the int32 flat-scatter head "
+            f"capacity (max_head_rows={cap}); disable the dense head "
+            "(dense_head_bytes=0) or shard the docs axis"
         )
+    num_head = int(
+        min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)), cap)
     )
     head_words, is_head, rank, keep_w, rankx = _head_select_masked(
         A.w_word, A.w_val, A.w_doc, zetas, sel_p, V, num_head

@@ -59,7 +59,7 @@ class Inferencer:
                      top_n: int = 0) -> InferResult:
         """top_n > 0 downloads only each doc's top_n weights (the CLI
         report needs at most 5, drivers/ISLEInfer.cpp:100-111); other
-        entries of InferResult.weights are uniform filler."""
+        entries of converged InferResult.weights rows are 0.0 filler."""
         cfg = self.config
         batch = build_infer_batch(corpus, self.model_mass)
         self.timer.next("pack inference batch")

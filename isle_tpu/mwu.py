@@ -224,9 +224,11 @@ def infer_all(
 
     With top_n > 0, only each doc's top_n weights download from the
     device (the reference CLI writes at most the top 5 per doc,
-    drivers/ISLEInfer.cpp:100-111) — the rest of each returned row is
-    uniform 1/k filler. At 300k docs the full (D, k) readback is ~120 MB
-    on this link; the top-5 form is ~7 MB.
+    drivers/ISLEInfer.cpp:100-111) — the rest of each converged row is
+    0.0 filler (NOT 1/k: a value-equality sentinel would depend on exact
+    float32 promotion in consumers; 0.0 is unambiguously below the
+    `> 1/k` report cut). At 300k docs the full (D, k) readback is
+    ~120 MB on this link; the top-5 form is ~7 MB.
 
     With `mesh` (a 1-D jax Mesh), each block's doc rows shard across the
     mesh and the model replicates — the multi-chip form of the reference's
@@ -325,7 +327,7 @@ def infer_all(
     for idx, bs, w, c, s in pending:
         if top_n:
             tv, ti = (np.asarray(x)[:bs] for x in w)
-            rows = np.full((bs, k), 1.0 / k, np.float32)
+            rows = np.zeros((bs, k), np.float32)
             np.put_along_axis(rows, ti.astype(np.int64), tv, axis=1)
             weights[idx] = rows
         else:

@@ -113,7 +113,11 @@ def _parse_tdf_numpy(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 def sort_dedup_entries(docs, words, counts):
     """Sort by (doc, word), first-occurrence dedup. Native when available
     (the 1-core host makes numpy's multi-pass lexsort a bottleneck at
-    corpus scale); numpy fallback otherwise. Returns new arrays."""
+    corpus scale); numpy fallback otherwise. Returns new arrays.
+
+    Native error codes: -1 = allocation failure, -2 = n > 2^32-1 (the
+    radix sort carries u32 original indices). Both fall back to the numpy
+    lexsort below, which indexes 64-bit and has no such cap."""
     lib = _load()
     n = len(docs)
     if lib is not None and n and int(docs.max()) < 2**31 and int(words.max()) < 2**31:

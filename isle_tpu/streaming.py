@@ -559,8 +559,11 @@ class StreamedTrainer:
         t.timer.next("streamed B construction")
 
         if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
+            from .hybrid import max_head_rows
+
             num_head = min(
-                V, cfg.tpu.dense_head_bytes // max(2 * B.num_docs, 1)
+                V, cfg.tpu.dense_head_bytes // max(2 * B.num_docs, 1),
+                max_head_rows(B.num_docs),
             )
             if num_head >= 8:
                 B = to_hybrid(

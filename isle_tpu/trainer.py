@@ -225,7 +225,15 @@ class Trainer:
         # valueless tail; the fused builder skips the intermediate B COO.
         key, sub = jax.random.split(key)
         sample = cfg.sample_rate if cfg.sample_docs else None
-        if cfg.tpu.dense_head_bytes > 0:
+        from .hybrid import max_head_rows
+
+        use_hybrid = cfg.tpu.dense_head_bytes > 0 and max_head_rows(D) >= 8
+        if cfg.tpu.dense_head_bytes > 0 and not use_hybrid:
+            self.logger.warning(
+                f"num_docs={D} exceeds the int32 flat-scatter head "
+                "capacity; falling back to the COO layout"
+            )
+        if use_hybrid:
             from .hybrid import hybrid_from_thresholds
 
             B, original_cols, frob_sq = hybrid_from_thresholds(

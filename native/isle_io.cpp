@@ -216,10 +216,12 @@ int64_t isle_write_sparse_model(const char* path, const float* model,
 // Sort entries by (doc, word) keeping first occurrence of duplicates
 // (the ingest sort/dedup, reference src/trainer.cpp:237-247, made
 // deterministic). In-place on the three arrays; returns the deduplicated
-// count, or -1 on allocation failure.
+// count, -1 on allocation failure, or -2 when n exceeds the 2^32-1
+// capacity of the u32 index payload (callers should fall back to a
+// host sort that indexes 64-bit).
 int64_t isle_sort_dedup_entries(int64_t* docs, int64_t* words,
                                 int64_t* counts, int64_t n) {
-  if (n > INT64_C(0xFFFFFFFF)) return -1;  // idx payload is u32
+  if (n > INT64_C(0xFFFFFFFF)) return -2;  // idx payload is u32
   uint64_t* key =
       static_cast<uint64_t*>(malloc(sizeof(uint64_t) * static_cast<size_t>(n)));
   uint32_t* idx =
@@ -272,10 +274,11 @@ int64_t isle_sort_dedup_entries(int64_t* docs, int64_t* words,
 
 // Permutation sorting int32 (seg_major, seg_minor) pairs — used for the
 // word-major (CSR) ordering of already doc-sorted entries. perm must have
-// room for n int64s. Returns 0, or -1 on allocation failure.
+// room for n int64s. Returns 0, -1 on allocation failure, or -2 when n
+// exceeds the u32 index capacity (see isle_sort_dedup_entries).
 int64_t isle_order_by(const int32_t* major, const int32_t* minor,
                       int64_t* perm, int64_t n) {
-  if (n > INT64_C(0xFFFFFFFF)) return -1;  // idx payload is u32
+  if (n > INT64_C(0xFFFFFFFF)) return -2;  // idx payload is u32
   uint64_t* key =
       static_cast<uint64_t*>(malloc(sizeof(uint64_t) * static_cast<size_t>(n)));
   uint32_t* idx =

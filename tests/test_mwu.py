@@ -167,7 +167,7 @@ def test_top_n_matches_full_weights():
         if not c1[d]:
             continue
         full_top = np.argsort(-w_full[d], kind="stable")[:3]
-        expected = np.full(k, np.float32(1.0 / k), np.float32)
+        expected = np.zeros(k, np.float32)  # non-top filler is 0.0
         expected[full_top] = w_full[d][full_top]
         np.testing.assert_array_equal(w_top[d], expected)
         assert np.argmax(w_top[d]) == np.argmax(w_full[d])
