@@ -89,18 +89,30 @@ def write_top_topics(
 ) -> None:
     """Per-doc top topics above uniform mass, at most top_n, as
     `<doc>\t<topic>\t<weight>` with 1-based topic ids
-    (drivers/ISLEInfer.cpp:100-111)."""
+    (drivers/ISLEInfer.cpp:100-111).
+
+    Vectorized selection + native buffered writer: the per-doc Python
+    loop wrote one f-string per line (minutes at 1M-doc blocks on this
+    1-core host). The ordering is identical to the loop: doc ascending,
+    then weight descending with ties to the lower topic id (the loop's
+    stable argsort over an ascending nonzero index list)."""
     D, k = weights.shape
-    uniform = 1.0 / k
-    with open(path, "w") as f:
-        for d in range(D):
-            if not converged[d]:
-                continue
-            w = weights[d]
-            idx = np.nonzero(w > uniform)[0]
-            idx = idx[np.argsort(-w[idx], kind="stable")][:top_n]
-            for t in idx:
-                f.write(f"{d + doc_begin}\t{t + 1}\t{w[t]:.6f}\n")
+    uniform = np.float32(1.0 / k)
+    w = np.asarray(weights, np.float32)
+    sel = (w > uniform) & np.asarray(converged, bool)[:, None]
+    dd, tt = np.nonzero(sel)
+    vv = w[dd, tt]
+    # lexsort: last key primary -> (doc asc, -weight, topic asc ties)
+    order = np.lexsort((tt, -vv, dd))
+    dd, tt, vv = dd[order], tt[order], vv[order]
+    # rank within each doc run; keep the first top_n
+    if len(dd):
+        starts = np.flatnonzero(np.concatenate([[True], dd[1:] != dd[:-1]]))
+        run_start = np.repeat(starts, np.diff(np.concatenate([starts, [len(dd)]])))
+        rank = np.arange(len(dd)) - run_start
+        keep = rank < top_n
+        dd, tt, vv = dd[keep], tt[keep], vv[keep]
+    native.write_float_triples(path, dd, tt, vv, base_a=doc_begin, base_b=1)
 
 
 def write_edge_composition(path: str, selected_pairs: np.ndarray) -> None:

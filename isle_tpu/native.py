@@ -64,6 +64,23 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64,
             ]
+            for name, third in (
+                ("isle_write_if_triples", ctypes.POINTER(ctypes.c_float)),
+                ("isle_write_iii_triples", ctypes.POINTER(ctypes.c_int32)),
+            ):
+                fn = getattr(lib, name, None)
+                if fn is None:
+                    continue  # stale .so without the triple writers
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    third,
+                    ctypes.c_int64,
+                ] + [ctypes.c_int32] * (
+                    2 if name == "isle_write_if_triples" else 3
+                )
             _lib = lib
             return _lib
     return None
@@ -159,6 +176,81 @@ def order_by(major: np.ndarray, minor: np.ndarray) -> np.ndarray:
         if rc == 0:
             return perm
     return np.lexsort((minor, major))
+
+
+def write_float_triples(
+    path: str,
+    a: np.ndarray,
+    b: np.ndarray,
+    v: np.ndarray,
+    base_a: int = 1,
+    base_b: int = 1,
+) -> None:
+    """Write `<a+base_a>\\t<b+base_b>\\t<v:.6f>` lines through the native
+    buffered writer (the reference's MMappedOutput concat_int/concat_float
+    path, include/utils.h:232-487). Byte-identical numpy/python fallback.
+    Used by the per-entry artifact writers (DocCatchword.tsv,
+    DocTopicCatchwordSums.tsv, inference top-topics files), which at
+    corpus scale emit millions of lines — per-line Python f-strings took
+    minutes on this 1-core host."""
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
+    v = np.ascontiguousarray(v, np.float32)
+    n = len(a)
+    assert len(b) == n and len(v) == n
+    lib = _load()
+    if lib is not None and hasattr(lib, "isle_write_if_triples"):
+        rc = lib.isle_write_if_triples(
+            path.encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n,
+            base_a,
+            base_b,
+        )
+        if rc < 0:
+            raise OSError(f"cannot write {path}")
+        return
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(f"{a[i] + base_a}\t{b[i] + base_b}\t{v[i]:.6f}\n")
+
+
+def write_int_triples(
+    path: str,
+    a: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    base_a: int = 1,
+    base_b: int = 1,
+    base_c: int = 1,
+) -> None:
+    """`<a>\\t<b>\\t<c>` integer lines (TopTwoTopicsPerDoc.txt,
+    src/trainer.cpp:1008-1040) through the native buffered writer."""
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
+    c = np.ascontiguousarray(c, np.int32)
+    n = len(a)
+    assert len(b) == n and len(c) == n
+    lib = _load()
+    if lib is not None and hasattr(lib, "isle_write_iii_triples"):
+        rc = lib.isle_write_iii_triples(
+            path.encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            base_a,
+            base_b,
+            base_c,
+        )
+        if rc < 0:
+            raise OSError(f"cannot write {path}")
+        return
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(f"{a[i] + base_a}\t{b[i] + base_b}\t{c[i] + base_c}\n")
 
 
 def write_sparse_model(

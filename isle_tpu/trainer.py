@@ -791,6 +791,9 @@ class Trainer:
             writer runs (src/sparseMatrix.cpp:715-720).
         """
         assert self.is_training_complete
+        from . import native
+        from .topic_model import doc_topic_mass
+
         k = self.config.num_topics
         V = self.corpus.vocab_size
         D = self.corpus.num_docs
@@ -804,18 +807,22 @@ class Trainer:
         vals = self.corpus.vals
         doc_ids = self.corpus.doc_ids()
         mask = cwt[rows] >= 0
-        with open(os.path.join(self.run_dir, "DocCatchword.tsv"), "w") as f:
-            for d, w, v in zip(doc_ids[mask], rows[mask], vals[mask]):
-                f.write(f"{d + 1}\t{w + 1}\t{v:.6f}\n")
-        mass = np.zeros((D, k), np.float32)
-        np.add.at(mass, (doc_ids[mask], cwt[rows[mask]]), vals[mask])
+        native.write_float_triples(
+            os.path.join(self.run_dir, "DocCatchword.tsv"),
+            doc_ids[mask], rows[mask], vals[mask],
+        )
+        # Doc-topic catchword mass on device (one chunked scatter kernel —
+        # the host np.add.at pass over every nnz took seconds at corpus
+        # scale on this 1-core host).
+        A = DocSparse.from_corpus(self.corpus, chunk=self.config.tpu.spmm_chunk)
+        mass = np.asarray(doc_topic_mass(A, jnp.asarray(cwt), k))
         dd, tt = np.nonzero(mass)
         vv = mass[dd, tt]
         order = np.lexsort((-vv, tt))
-        path = os.path.join(self.run_dir, "DocTopicCatchwordSums.tsv")
-        with open(path, "w") as f:
-            for d, t, v in zip(dd[order], tt[order], vv[order]):
-                f.write(f"{d + 1}\t{t + 1}\t{v:.6f}\n")
+        native.write_float_triples(
+            os.path.join(self.run_dir, "DocTopicCatchwordSums.tsv"),
+            dd[order], tt[order], vv[order],
+        )
         self.timer.next("writing document catchword weights")
 
     def print_top_two_topics(self) -> None:
@@ -823,11 +830,14 @@ class Trainer:
         doc-ascending (src/trainer.cpp:1008-1040 mmap branch; the host
         sort by doc id is a no-op here because top_pairs is doc-indexed)."""
         assert self.top_pairs is not None, "train with compute_edge_topics"
+        from . import native
+
         t1, t2, valid = self.top_pairs
-        path = os.path.join(self.run_dir, "TopTwoTopicsPerDoc.txt")
-        with open(path, "w") as f:
-            for d in np.flatnonzero(valid):
-                f.write(f"{d + 1}\t{t1[d] + 1}\t{t2[d] + 1}\n")
+        d = np.flatnonzero(valid).astype(np.int32)
+        native.write_int_triples(
+            os.path.join(self.run_dir, "TopTwoTopicsPerDoc.txt"),
+            d, t1[d], t2[d],
+        )
         self.timer.next("printing top 2 topics/doc")
 
     def output_topic_diversity(self) -> float:

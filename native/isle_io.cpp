@@ -213,6 +213,71 @@ int64_t isle_write_sparse_model(const char* path, const float* model,
   return total;
 }
 
+// Write `<a>\t<b>\t<v>\n` lines, v at fixed 6 decimals (the reference's
+// ftoa_mv 6-decimal float format, include/utils.h:431-478; used for
+// DocCatchword.tsv / DocTopicCatchwordSums.tsv, src/trainer.cpp:874-1010,
+// and the inference top-topics files, drivers/ISLEInfer.cpp:100-111).
+// base_a/base_b are added to the raw ids (callers keep 0-based arrays and
+// print 1-based). Returns bytes written or -1 on I/O error.
+int64_t isle_write_if_triples(const char* path, const int32_t* a,
+                              const int32_t* b, const float* v, int64_t n,
+                              int32_t base_a, int32_t base_b) {
+  FILE* f = fopen(path, "w");
+  if (!f) return -1;
+  static const size_t kBuf = 4u << 20;
+  std::string buf;
+  buf.reserve(kBuf + 256);
+  char line[96];
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int len = snprintf(line, sizeof(line), "%d\t%d\t%.6f\n", a[i] + base_a,
+                       b[i] + base_b, static_cast<double>(v[i]));
+    buf.append(line, static_cast<size_t>(len));
+    if (buf.size() >= kBuf) {
+      fwrite(buf.data(), 1, buf.size(), f);
+      total += static_cast<int64_t>(buf.size());
+      buf.clear();
+    }
+  }
+  if (!buf.empty()) {
+    fwrite(buf.data(), 1, buf.size(), f);
+    total += static_cast<int64_t>(buf.size());
+  }
+  fclose(f);
+  return total;
+}
+
+// Write `<a>\t<b>\t<c>\n` integer triples (TopTwoTopicsPerDoc.txt,
+// src/trainer.cpp:1008-1040). Returns bytes written or -1.
+int64_t isle_write_iii_triples(const char* path, const int32_t* a,
+                               const int32_t* b, const int32_t* c, int64_t n,
+                               int32_t base_a, int32_t base_b,
+                               int32_t base_c) {
+  FILE* f = fopen(path, "w");
+  if (!f) return -1;
+  static const size_t kBuf = 4u << 20;
+  std::string buf;
+  buf.reserve(kBuf + 256);
+  char line[64];
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int len = snprintf(line, sizeof(line), "%d\t%d\t%d\n", a[i] + base_a,
+                       b[i] + base_b, c[i] + base_c);
+    buf.append(line, static_cast<size_t>(len));
+    if (buf.size() >= kBuf) {
+      fwrite(buf.data(), 1, buf.size(), f);
+      total += static_cast<int64_t>(buf.size());
+      buf.clear();
+    }
+  }
+  if (!buf.empty()) {
+    fwrite(buf.data(), 1, buf.size(), f);
+    total += static_cast<int64_t>(buf.size());
+  }
+  fclose(f);
+  return total;
+}
+
 // Sort entries by (doc, word) keeping first occurrence of duplicates
 // (the ingest sort/dedup, reference src/trainer.cpp:237-247, made
 // deterministic). In-place on the three arrays; returns the deduplicated

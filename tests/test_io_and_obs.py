@@ -234,3 +234,60 @@ def test_vectorized_distinct_top5_matches_loop_oracle():
     c = Corpus.from_entries(docs, words, counts, vocab_size=V, num_docs=D)
     for mc in (0, 1, 3):
         assert count_distinct_top_five(c, mc) == _loop_distinct_top5(c, mc)
+
+
+def test_native_triple_writers_byte_identical(tmp_path):
+    """The native buffered triple writers must be byte-identical to the
+    per-line Python fallback across sign/magnitude/rounding edge cases."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    a = rng.integers(0, 2**20, n).astype(np.int32)
+    b = rng.integers(0, 5000, n).astype(np.int32)
+    v = np.concatenate([
+        rng.random(n - 6).astype(np.float32) * 1000.0,
+        np.array([0.0, 1.0, 0.0000005, 0.1234565, 123456.78, 1e-9],
+                 np.float32),
+    ])
+    p_native = str(tmp_path / "nat.tsv")
+    p_py = str(tmp_path / "py.tsv")
+    native.write_float_triples(p_native, a, b, v, base_a=1, base_b=1)
+    with open(p_py, "w") as f:
+        for i in range(n):
+            f.write(f"{a[i] + 1}\t{b[i] + 1}\t{v[i]:.6f}\n")
+    assert open(p_native, "rb").read() == open(p_py, "rb").read()
+
+    c = rng.integers(0, 100, n).astype(np.int32)
+    native.write_int_triples(p_native, a, b, c, base_a=1, base_b=1, base_c=0)
+    with open(p_py, "w") as f:
+        for i in range(n):
+            f.write(f"{a[i] + 1}\t{b[i] + 1}\t{c[i]}\n")
+    assert open(p_native, "rb").read() == open(p_py, "rb").read()
+
+
+def test_write_top_topics_matches_loop_oracle(tmp_path):
+    """Vectorized write_top_topics must reproduce the reference per-doc
+    loop exactly (order: weight desc, ties to lower topic id, cap 5;
+    drivers/ISLEInfer.cpp:100-111) — including duplicate weights and
+    unconverged docs."""
+    rng = np.random.default_rng(5)
+    D, k = 200, 12
+    w = rng.random((D, k)).astype(np.float32)
+    # force ties and sub-uniform rows
+    w[3] = 1.0 / k
+    w[7, 2] = w[7, 9] = 0.9
+    w[11] = 0.0
+    conv = rng.random(D) > 0.2
+    p_vec = str(tmp_path / "vec.txt")
+    p_loop = str(tmp_path / "loop.txt")
+    io_text.write_top_topics(p_vec, w, conv, doc_begin=4, top_n=5)
+    uniform = 1.0 / k
+    with open(p_loop, "w") as f:
+        for d in range(D):
+            if not conv[d]:
+                continue
+            row = w[d]
+            idx = np.nonzero(row > uniform)[0]
+            idx = idx[np.argsort(-row[idx], kind="stable")][:5]
+            for t in idx:
+                f.write(f"{d + 4}\t{t + 1}\t{row[t]:.6f}\n")
+    assert open(p_vec, "rb").read() == open(p_loop, "rb").read()
