@@ -919,6 +919,15 @@ class Trainer:
                 f"#catchwords={len(cw)} coherence={coh[t]:.4f}\n"
                 f"     top words: {words}"
             )
+            # Catchword detail dump (LogUtils::print_catch_words,
+            # include/logUtils.h:48-65): `word:id(threshold)` per
+            # catchword, space-separated, threshold at %g precision.
+            if len(cw) and self.catchword_thresholds is not None:
+                thr_t = self.catchword_thresholds[t]
+                detail = " ".join(
+                    f"{self.vocab_words[w]}:{w}({thr_t[w]:.6g})" for w in cw
+                )
+                self.logger.diag(f"Catchwords:\n{detail} ")
         self.logger.info(f"Avg coherence: {float(np.mean(coh)):.4f}")
         self.logger.info(
             f"Average topic diversity: {topic_diversity(self.model):.6f}"

@@ -139,3 +139,29 @@ def test_avg_coherence_matches_catchless_model(trained):
     avg, coh = tr.output_avg_topic_coherence()
     assert coh.shape == (tr.config.num_topics,)
     assert np.isfinite(avg)
+
+
+def test_catchword_detail_dump(trained):
+    """output_cluster_summary writes the print_catch_words analog
+    (include/logUtils.h:48-65): per topic with catchwords, a diagnostic
+    `Catchwords:` line of `word:id(threshold)` entries."""
+    import re
+
+    tr, corpus = trained
+    tr.output_cluster_summary()
+    tr.logger.close()
+    diag = open(os.path.join(tr.run_dir, "diagnosticLog.txt")).read()
+    assert "Catchwords:" in diag
+    entries = re.findall(r"(\S+):(\d+)\(([-\d.e+]+)\)", diag)
+    assert entries
+    all_cw = {int(w) for ws in tr.catchwords for w in ws}
+    for name, wid, thr in entries:
+        wid = int(wid)
+        assert wid in all_cw
+        assert name == tr.vocab_words[wid]
+        # threshold matches the stored (k, vocab) matrix at %g precision
+        t = next(t for t in range(tr.config.num_topics)
+                 if wid in tr.catchwords[t])
+        assert float(thr) == float(
+            f"{tr.catchword_thresholds[t][wid]:.6g}"
+        )
