@@ -484,7 +484,6 @@ class StreamedTrainer:
             run_lloyds_full,
             run_lloyds_projected,
         )
-        from .linalg import block_ks_device
         from .matops import mat_bt_x, mat_gram_x
 
         t = self._t
@@ -578,14 +577,15 @@ class StreamedTrainer:
             U = jnp.asarray(ck["svd"]["U"])
             t.logger.info("resumed eigenvectors from 'svd' checkpoint")
         else:
-            res = block_ks_device(
+            # Shared solver dispatch — honors hyper.eigensolver
+            # (block_ks / lanczos / dense) exactly like the in-core mode
+            # instead of hardcoding block_ks.
+            from .trainer import solve_gram_eigens
+
+            t.evalues, U, _ = solve_gram_eigens(
                 lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
-                V, k, op_data=B, blk=hp.block_ks_block_size,
-                tol=hp.block_ks_tolerance, max_restarts=hp.block_ks_max_iters,
-                key=sub, timer=t.timer,
+                V, k, B, cfg, sub, timer=t.timer, logger=t.logger,
             )
-            t.evalues = res.evals
-            U = res.evecs
             t.timer.next("eigen solve (B B^T)")
             t._checkpoint(
                 "svd", U=np.asarray(U), evalues=t.evalues,
@@ -603,9 +603,18 @@ class StreamedTrainer:
         centers_full = jnp.matmul(
             centers_lowd, U.T, precision=jax.lax.Precision.HIGHEST
         )
-        centers_full, assign = run_lloyds_full(
-            B, centers_full, hp.max_kmeans_reps
-        )
+        # Full-space k-means honoring kmeans_algo_for_sparse (the in-core
+        # dispatch, trainer.py stage 8; previously hardcoded Lloyd's).
+        if hp.kmeans_algo_for_sparse == "elkans":
+            from .elkans import run_elkans
+
+            centers_full, assign = run_elkans(
+                B, centers_full, hp.max_kmeans_reps, timer=t.timer
+            )
+        else:
+            centers_full, assign = run_lloyds_full(
+                B, centers_full, hp.max_kmeans_reps
+            )
         t.centers = np.asarray(centers_full)
         t.timer.next("k-means")
 

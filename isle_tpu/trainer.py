@@ -44,6 +44,76 @@ from .topic_model import construct_edge_topics_v2, construct_topic_model
 HI = jax.lax.Precision.HIGHEST
 
 
+def solve_gram_eigens(
+    op,
+    V: int,
+    k: int,
+    op_data,
+    cfg,
+    key,
+    timer=None,
+    logger=None,
+    allow_dense: bool = True,
+):
+    """Shared truncated-eigensolver dispatch for B·Bᵀ, honoring
+    `hyper.eigensolver` identically across the in-core, sharded, and
+    streamed training modes (no silent fallback to the default solver;
+    the reference selects its solver once, compile-time, for every path —
+    hyperparams.h:31).
+
+    Returns (evalues np.float32[k], U (V, k) jax, stats) where stats is
+    None for the dense oracle and (res, op_width) for iterative solvers.
+    Raises ValueError for unsupported combos (dense on a sharded
+    operator) instead of silently substituting."""
+    hp = cfg.hyper
+    eigensolver = hp.eigensolver
+    if eigensolver not in ("dense", "block_ks", "lanczos"):
+        raise ValueError(f"unknown eigensolver {eigensolver!r}")
+    if eigensolver != "dense" and 2 * k + 2 >= V:
+        if logger:
+            logger.warning(
+                f"k={k} too close to vocab={V} for a Krylov solver; "
+                "falling back to the dense eigensolver"
+            )
+        eigensolver = "dense"
+    if eigensolver == "dense":
+        if not allow_dense:
+            raise ValueError(
+                "eigensolver='dense' needs the whole B on one device; "
+                "unsupported in sharded mode (use block_ks or lanczos)"
+            )
+        from .linalg import dense_topk_eigh
+        from .matops import mat_to_dense
+
+        Bd = mat_to_dense(op_data).astype(np.float64)
+        w_np, U_np = dense_topk_eigh(Bd @ Bd.T, k)
+        return w_np.astype(np.float32), jnp.asarray(U_np, jnp.float32), None
+    from .linalg import block_ks, block_ks_device, lanczos_device
+
+    if eigensolver == "lanczos":
+        solver, kwargs, op_width = lanczos_device, {}, 1
+    else:
+        solver = block_ks_device if cfg.tpu.device_loop_solver else block_ks
+        kwargs = dict(blk=hp.block_ks_block_size)
+        op_width = hp.block_ks_block_size
+    res = solver(
+        op,
+        V,
+        k,
+        op_data=op_data,
+        tol=hp.block_ks_tolerance,
+        max_restarts=hp.block_ks_max_iters,
+        key=key,
+        timer=timer,
+        **kwargs,
+    )
+    if res.nconv < k and logger:
+        logger.warning(
+            f"{eigensolver} converged only {res.nconv}/{k} eigenpairs"
+        )
+    return res.evals, res.evecs, (res, op_width)
+
+
 class Trainer:
     def __init__(
         self,
@@ -269,66 +339,32 @@ class Trainer:
 
         # 4-5. truncated SVD of B B^T
         key, sub = jax.random.split(key)
-        blk = hp.block_ks_block_size
-        eigensolver = hp.eigensolver
         if resume_svd:
             self.evalues = ck["svd"]["evalues"]
             U = jnp.asarray(ck["svd"]["U"])
             self.logger.info("resumed eigenvectors from 'svd' checkpoint")
-            eigensolver = "resumed"
-        if eigensolver not in ("dense", "resumed") and 2 * k + 2 >= V:
-            self.logger.warning(
-                f"k={k} too close to vocab={V} for a Krylov solver; "
-                "falling back to the dense eigensolver"
-            )
-            eigensolver = "dense"
-        if eigensolver == "resumed":
-            pass
-        elif eigensolver == "dense":
-            from .linalg import dense_topk_eigh
-            from .matops import mat_to_dense
-
-            Bd = mat_to_dense(B).astype(np.float64)
-            w_np, U_np = dense_topk_eigh(Bd @ Bd.T, k)
-            self.evalues = w_np.astype(np.float32)
-            U = jnp.asarray(U_np, jnp.float32)
         else:
-            from .linalg import block_ks_device, lanczos_device
-
-            if eigensolver == "lanczos":
-                solver = lanczos_device
-                op_width = 1
-            else:
-                solver = (
-                    block_ks_device if cfg.tpu.device_loop_solver else block_ks
-                )
-                op_width = blk
-            res = solver(
+            self.evalues, U, stats = solve_gram_eigens(
                 lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
                 V,
                 k,
-                op_data=B,
-                tol=hp.block_ks_tolerance,
-                max_restarts=hp.block_ks_max_iters,
-                key=sub,
+                B,
+                cfg,
+                sub,
                 timer=self.timer,
-                **({} if eigensolver == "lanczos" else dict(blk=blk)),
+                logger=self.logger,
             )
-            if res.nconv < k:
-                self.logger.warning(
-                    f"{eigensolver} converged only {res.nconv}/{k} eigenpairs"
+            if stats is not None:
+                res, op_width = stats
+                self.op_counter.add(
+                    res.op_seconds,
+                    mat_spmm_flops(B, op_width) * res.op_calls,
+                    res.op_calls,
                 )
-            self.op_counter.add(
-                res.op_seconds,
-                mat_spmm_flops(B, op_width) * res.op_calls,
-                res.op_calls,
-            )
-            self.logger.info(self.op_counter.summary())
-            self.evalues = res.evals
-            U = res.evecs
+                self.logger.info(self.op_counter.summary())
         self._print_eigen_data(self.evalues, k)
         self.timer.next("eigen solve (B B^T)")
-        if eigensolver != "resumed":
+        if not resume_svd:
             self._checkpoint("svd", U=np.asarray(U), evalues=self.evalues,
                              zetas=np.asarray(zetas),
                              original_cols=original_cols)
@@ -480,6 +516,16 @@ class Trainer:
         k = cfg.num_topics
         V = self.corpus.vocab_size
         D = self.corpus.num_docs
+        # Elkan's has no sharded form: its win comes from compacting the
+        # flagged-doc set into a dense mini-COO, a data-dependent shape
+        # that cross-shard would force the worst shard's shape on every
+        # device each rep. Error up front rather than silently running
+        # Lloyd's under an "elkans" config.
+        if hp.kmeans_algo_for_sparse != "lloyds":
+            raise NotImplementedError(
+                f"kmeans_algo_for_sparse={hp.kmeans_algo_for_sparse!r} is "
+                "single-device only; sharded training supports 'lloyds'"
+            )
         n_dev = cfg.tpu.mesh_devices()
         if len(jax.devices()) < n_dev:
             raise RuntimeError(
@@ -573,46 +619,30 @@ class Trainer:
 
         # 4-5. truncated SVD of B B^T: psum'd Gram operator on the mesh
         key, sub = jax.random.split(key)
-        blk = hp.block_ks_block_size
-        eigensolver = hp.eigensolver
         if resume_svd:
             self.evalues = ck["svd"]["evalues"]
             U = jnp.asarray(ck["svd"]["U"])
             self.logger.info("resumed eigenvectors from 'svd' checkpoint")
         else:
-            from .linalg import block_ks, block_ks_device, lanczos_device
-
-            if eigensolver == "lanczos":
-                solver = lanczos_device
-                op_width = 1
-            else:
-                solver = (
-                    block_ks_device if cfg.tpu.device_loop_solver else block_ks
-                )
-                op_width = blk
-            res = solver(
+            self.evalues, U, stats = solve_gram_eigens(
                 op_gram,
                 V,
                 k,
-                op_data=B_op,
-                tol=hp.block_ks_tolerance,
-                max_restarts=hp.block_ks_max_iters,
-                key=sub,
+                B_op,
+                cfg,
+                sub,
                 timer=self.timer,
-                **({} if eigensolver == "lanczos" else dict(blk=blk)),
+                logger=self.logger,
+                allow_dense=False,
             )
-            if res.nconv < k:
-                self.logger.warning(
-                    f"{eigensolver} converged only {res.nconv}/{k} eigenpairs"
+            if stats is not None:
+                res, op_width = stats
+                self.op_counter.add(
+                    res.op_seconds,
+                    sharded_spmm_flops(B, op_width) * res.op_calls,
+                    res.op_calls,
                 )
-            self.op_counter.add(
-                res.op_seconds,
-                sharded_spmm_flops(B, op_width) * res.op_calls,
-                res.op_calls,
-            )
-            self.logger.info(self.op_counter.summary())
-            self.evalues = res.evals
-            U = res.evecs
+                self.logger.info(self.op_counter.summary())
             self._checkpoint(
                 "svd", U=np.asarray(U), evalues=self.evalues,
                 zetas=np.asarray(zetas), original_cols=original_cols,
