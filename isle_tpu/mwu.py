@@ -262,7 +262,11 @@ def infer_all(
     kept = (batch.word_idx < V).sum(axis=1)
     fine = [64, 128, 192, 256, 320, 384, 448, 512, 1024, 2048, 8192]
     edges = [e for e in fine if e < L] + [L]
-    compact = batch.counts is not None and mesh is None
+    # Compact uploads work under a mesh too: the u16 counts / doc-sum
+    # arrays shard row-wise exactly like the fat f32 arrays would, so
+    # multi-chip inference keeps the same ~6 B/slot upload as
+    # single-chip (round-2 gap: the mesh path paid the fat upload).
+    compact = batch.counts is not None
     pending = []
     prev = -1
     for edge in edges:
@@ -297,6 +301,10 @@ def infer_all(
                     ds = np.concatenate(
                         [ds, np.ones(bs_cap - bs, np.float32)]
                     )
+                if mesh is not None:
+                    wi = jax.device_put(wi, sh_rows)
+                    cn = jax.device_put(cn, sh_rows)
+                    ds = jax.device_put(ds, sh_rows)
                 w, c, s = _mwu_block_compact(
                     Mw, jnp.asarray(wi), jnp.asarray(cn), jnp.asarray(ds),
                     iters, Lf0, max_guesses,

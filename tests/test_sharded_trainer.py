@@ -192,3 +192,35 @@ def test_sharded_mwu_inference_matches(pair):
     np.testing.assert_array_equal(ref[1], got[1])  # converged flags
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(got[2], ref[2], rtol=2e-5, atol=1e-5)
+
+
+def test_sharded_mwu_compact_upload_matches(pair, monkeypatch):
+    """The u16 compact upload must survive the mesh path (round-2 gap:
+    mesh inference silently fell back to the fat f32 upload). The fat
+    kernel is poisoned so any fallback fails the test."""
+    from isle_tpu import mwu as mwu_mod
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.mwu import build_infer_batch, infer_all
+    from isle_tpu.sharding import make_mesh
+
+    single, _ = pair
+    corpus = single.corpus
+    # unit-normalized corpus with intact integer counts -> compact path
+    infer_corpus = Corpus.from_entries(
+        corpus.doc_ids(), corpus.rows, corpus.counts.astype(np.int64),
+        vocab_size=corpus.vocab_size, num_docs=corpus.num_docs,
+        normalize_to_one=True, sort_dedup=False,
+    )
+    model = single.get_model()
+    batch = build_infer_batch(infer_corpus, model.sum(axis=1))
+    assert batch.counts is not None, "compact sidecar must be available"
+    ref = infer_all(model, batch, iters=15, Lf=10.0)
+
+    def _poisoned(*a, **kw):
+        raise AssertionError("fat upload kernel used despite compact data")
+
+    monkeypatch.setattr(mwu_mod, "_mwu_block", _poisoned)
+    got = infer_all(model, batch, iters=15, Lf=10.0, mesh=make_mesh(8))
+    np.testing.assert_array_equal(ref[1], got[1])
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got[2], ref[2], rtol=2e-5, atol=1e-5)
