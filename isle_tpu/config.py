@@ -47,6 +47,14 @@ class HyperParams:
     # Streaming block size over documents (hyperparams.h:42).
     doc_block_size: int = 1 << 18
 
+    # Materialize the projected matrix P = U^T B (hyperparams.h:44
+    # USE_EXPLICIT_PROJECTED_MATRIX). True is the TPU-first choice (P is
+    # k x docs — tiny next to B). False recomputes the projections one
+    # doc block at a time (matops.mat_bt_x_blockwise), restoring the
+    # reference's built-in A/B cross-check of the projection + projected
+    # k-means stages (src/trainer.cpp:522-531).
+    use_explicit_projected_matrix: bool = True
+
     # k-means configuration (hyperparams.h:46-68).
     kmeans_init_method: str = "kmeanspp"  # kmeanspp | kmeansbb | kmeansmcmc
     kmeans_init_reps: int = 1

@@ -369,10 +369,16 @@ class Trainer:
                              zetas=np.asarray(zetas),
                              original_cols=original_cols)
 
-        # 6. projected matrix P = U^T B (k x D_B), materialized (TPU-first;
-        # the reference's USE_EXPLICIT_PROJECTED_MATRIX=false recomputes
-        # projections blockwise on CPU instead).
-        P = mat_bt_x(B, U, cfg.tpu.spmm_chunk).T
+        # 6. projected matrix P = U^T B (k x D_B). Materialized by
+        # default (TPU-first: P is tiny); use_explicit_projected_matrix=
+        # False recomputes it blockwise — the reference's built-in A/B
+        # cross-check of this stage (src/trainer.cpp:522-531).
+        if hp.use_explicit_projected_matrix:
+            P = mat_bt_x(B, U, cfg.tpu.spmm_chunk).T
+        else:
+            from .matops import mat_bt_x_blockwise
+
+            P = mat_bt_x_blockwise(B, U, doc_block=hp.doc_block_size).T
         self.timer.next("project docs")
 
         # 7. k-means++ seeding + Lloyd's in the projected space

@@ -167,3 +167,96 @@ def test_elkans_on_hybrid_layout():
     c_e, a_e = run_elkans(h, centers0, 10)
     np.testing.assert_array_equal(np.asarray(a_l), np.asarray(a_e))
     np.testing.assert_allclose(np.asarray(c_l), np.asarray(c_e), atol=1e-5)
+
+
+class TestImplicitProjection:
+    """mat_bt_x_blockwise (USE_EXPLICIT_PROJECTED_MATRIX=false analog,
+    src/trainer.cpp:522-531) must agree with the one-shot product on
+    every layout — the reference's built-in A/B of the projection stage."""
+
+    def _problem(self, seed, factored):
+        import jax.numpy as jnp
+        from isle_tpu.hybrid import to_hybrid
+        from isle_tpu.sparse import DocSparse
+
+        rng = np.random.default_rng(seed)
+        V, D, nnz = 90, 70, 800
+        w = rng.integers(0, V, nnz).astype(np.int32)
+        d = np.sort(rng.integers(0, D, nnz).astype(np.int32))
+        order = np.lexsort((w, d))
+        w, d = w[order], d[order]
+        keep = np.ones(nnz, bool)
+        keep[1:] = (w[1:] != w[:-1]) | (d[1:] != d[:-1])
+        w, d = w[keep], d[keep]
+        if factored:
+            scale = rng.random(V).astype(np.float32) + 0.5
+            v = scale[w]
+        else:
+            scale = None
+            v = rng.random(len(w)).astype(np.float32)
+        sp = DocSparse.build(w, d, v, V, D, chunk=256)
+        X = rng.standard_normal((V, 16)).astype(np.float32)
+        return sp, scale, X
+
+    @pytest.mark.parametrize("doc_block", [7, 16, 64, 1 << 18])
+    def test_coo_matches(self, doc_block):
+        from isle_tpu.matops import mat_bt_x, mat_bt_x_blockwise
+
+        sp, _, X = self._problem(3, factored=False)
+        ref = np.asarray(mat_bt_x(sp, X, 256))
+        got = np.asarray(mat_bt_x_blockwise(sp, X, doc_block, 256))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("factored", [False, True])
+    @pytest.mark.parametrize("doc_block", [16, 1 << 18])
+    def test_hybrid_matches(self, factored, doc_block):
+        import jax.numpy as jnp
+        from isle_tpu.hybrid import to_hybrid
+        from isle_tpu.matops import mat_bt_x, mat_bt_x_blockwise
+
+        sp, scale, X = self._problem(5, factored=factored)
+        h = to_hybrid(
+            sp, 16, chunk=256,
+            row_scale=None if scale is None else jnp.asarray(scale),
+        )
+        assert h.head_nnz > 0 and h.nnz > h.head_nnz  # both parts live
+        ref = np.asarray(mat_bt_x(h, X, 256))
+        got = np.asarray(mat_bt_x_blockwise(h, X, doc_block, 256))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_trainer_ab_harness(self, tmp_path):
+        """Full A/B: training with the implicit projection reproduces the
+        explicit-projection model (identical seeds; P differs only by
+        float summation order)."""
+        import dataclasses
+
+        from isle_tpu.config import HyperParams, TrainConfig
+        from isle_tpu.corpus import Corpus
+        from isle_tpu.trainer import Trainer
+        from test_end_to_end import planted_corpus
+
+        rng = np.random.default_rng(31)
+        V, D, k = 60, 300, 4
+        text, _ = planted_corpus(rng, V, D, k)
+        tdf = tmp_path / "c.tdf"
+        tdf.write_text(text)
+
+        models = []
+        for explicit in (True, False):
+            hp = HyperParams(
+                block_ks_block_size=8,
+                use_explicit_projected_matrix=explicit,
+                doc_block_size=64,
+            )
+            cfg = TrainConfig(num_topics=k, seed=0, hyper=hp)
+            tr = Trainer(
+                cfg, output_dir=str(tmp_path / f"e{explicit}"), quiet=True
+            )
+            tr.load_data_from_file(str(tdf))
+            tr.train()
+            models.append((tr.model, tr.cluster_of_doc))
+        np.testing.assert_allclose(
+            models[0][0], models[1][0], rtol=1e-4, atol=1e-6
+        )
+        agree = float(np.mean(models[0][1] == models[1][1]))
+        assert agree > 0.99, f"cluster agreement {agree}"
