@@ -11,9 +11,16 @@ Reference semantics:
   - find_catchwords (src/sparseMatrix.cpp:573-594): word w is a catchword
     of topic t iff thr[t, w] > rho * thr[o, w] for every other topic o.
 
-TPU design: a single device sort of (group_key = word * k + cluster,
--value) replaces the reference's per-(word,cluster) vector sorts; the r-th
-largest of every group is then one gather at (group_start + r - 1). The
+TPU design (round 3): thr[w, t] is nonzero only for (word, cluster)
+groups with MORE than r entries ("big" groups) or the degenerate
+full-cluster case — and with the reference's r = eps2·w0·D/(2k)
+(src/trainer.cpp:580-584) against a Zipf word marginal, the average
+group holds nnz/(V·k) ≪ r entries, so those groups cover a small
+fraction of nnz. One counting pass (chunked one-hot row scatters into a
+(V, k) matrix) classifies every group; only entries of selected groups
+are compacted and sorted by (group, -value); per-group selection is then
+one searchsorted over the group ids. This replaced a full-nnz device
+sort (round 2: the sort dominated the 4.3 s catchword-stats phase). The
 dominance predicate is a max/second-max reduction over the (k, vocab)
 threshold matrix — no pairwise loop.
 """
@@ -28,33 +35,11 @@ import numpy as np
 from .sparse import DocSparse
 
 
-@partial(jax.jit, static_argnames=("num_topics", "r"))
-def rth_highest(
-    A: DocSparse,
-    cluster_of_doc: jax.Array,  # (num_docs,) int32, -1 = not in any cluster
-    cluster_sizes: jax.Array,  # (num_topics,) int32
-    num_topics: int,
-    r: int,
-) -> jax.Array:
-    """Returns thresholds (num_topics, vocab) float32."""
-    assert r >= 1, "r = 0 is undefined in the reference (vector[-1] read)"
-    V, k = A.vocab, num_topics
-
-    cl = jnp.concatenate([cluster_of_doc, jnp.full((1,), -1, jnp.int32)])
-    c = cl[A.d_doc]
-    in_cluster = c >= 0
-    # Out-of-cluster and padded entries go to the spill group block.
-    key = jnp.where(
-        in_cluster, A.d_word * k + jnp.maximum(c, 0), V * k
-    ).astype(jnp.int32)
-    # Lexicographic sort by (group asc, value desc) in one device sort;
-    # values recovered by negation instead of carrying a third operand.
-    skey, sneg = jax.lax.sort((key, -A.d_val), num_keys=2, is_stable=False)
-    sval = -sneg
-
-    # Group counts as chunked one-hot row scatters into a (V+1, k) matrix
-    # (flat many-segment segment_sum compiles pathologically on this TPU
-    # toolchain; see thresholds.py).
+def _count_scan(key, in_cluster, V: int, k: int):
+    """(V+1, k) group-count matrix via chunked one-hot row scatters (flat
+    many-segment segment_sum compiles pathologically on this TPU
+    toolchain; see thresholds.py). Rows keyed by the word-sorted copy are
+    non-decreasing, so the scatter marks indices_are_sorted."""
     n_pad = key.shape[0]
     cchunk = max(min(1 << 19, n_pad), 1)
     while n_pad % cchunk:
@@ -66,7 +51,7 @@ def rth_highest(
         col = kk % k
         g = jax.nn.one_hot(col, k, dtype=jnp.float32)
         g = g * ic[:, None]
-        return acc.at[wrow].add(g), None
+        return acc.at[wrow].add(g, indices_are_sorted=True), None
 
     cm, _ = jax.lax.scan(
         count_body,
@@ -76,28 +61,96 @@ def rth_highest(
             in_cluster.astype(jnp.float32).reshape(n_pad // cchunk, cchunk),
         ),
     )
-    counts = jnp.concatenate(
-        [cm[:V].reshape(V * k), jnp.zeros((k,), jnp.float32)]
+    return cm
+
+
+def _entry_groups(A: DocSparse, cluster_of_doc, k: int):
+    """Per-entry group key (word*k + cluster, spill V*k for out-of-cluster
+    and padded entries) over the WORD-sorted copy."""
+    V = A.vocab
+    cl = jnp.concatenate([cluster_of_doc, jnp.full((1,), -1, jnp.int32)])
+    c = cl[A.w_doc]
+    in_cluster = c >= 0
+    key = jnp.where(
+        in_cluster, A.w_word * k + jnp.maximum(c, 0), V * k
     ).astype(jnp.int32)
-    starts = jnp.cumsum(counts) - counts  # group start offsets
+    return key, in_cluster
 
-    npad = skey.shape[0]
-    # r-th largest: element at starts + r - 1 (valid when counts > r).
-    rth_idx = jnp.clip(starts + (r - 1), 0, npad - 1)
-    rth = sval[rth_idx]
-    # minimum of group: element at starts + counts - 1.
-    min_idx = jnp.clip(starts + counts - 1, 0, npad - 1)
-    gmin = sval[min_idx]
 
-    counts2 = counts[: V * k].reshape(V, k)
-    rth = rth[: V * k].reshape(V, k)
-    gmin = gmin[: V * k].reshape(V, k)
+@partial(jax.jit, static_argnames=("num_topics", "r"))
+def _rth_classify(
+    A: DocSparse, cluster_of_doc, cluster_sizes, num_topics: int, r: int
+):
+    """Pass 1: group counts, the selected-group flags (count > r, or the
+    degenerate full-cluster case), per-entry compaction positions, and
+    the selected-entry total."""
+    V, k = A.vocab, num_topics
+    key, in_cluster = _entry_groups(A, cluster_of_doc, k)
+    counts2 = _count_scan(key, in_cluster, V, k)[:V].astype(jnp.int32)
     csz = cluster_sizes[None, :]
+    degenerate = (counts2 <= r) & (r >= csz) & (counts2 == csz) & (csz > 0)
+    sel_flat = jnp.concatenate(
+        [((counts2 > r) | degenerate).reshape(V * k),
+         jnp.zeros((k,), bool)]  # spill groups never selected
+    )
+    selm = sel_flat[key]
+    incl = jnp.cumsum(selm.astype(jnp.int32))
+    pos = jnp.where(selm, incl - 1, jnp.int32(0x7FFFFFF0))
+    return counts2, pos, incl[-1]
 
+
+@partial(jax.jit, static_argnames=("num_topics", "r", "Mp"))
+def _rth_select(
+    A: DocSparse, cluster_of_doc, cluster_sizes, counts2, pos,
+    num_topics: int, r: int, Mp: int,
+):
+    """Pass 2: compact the selected entries, sort by (group, -value), and
+    gather the r-th largest / group minimum at searchsorted group starts."""
+    V, k = A.vocab, num_topics
+    key, _ = _entry_groups(A, cluster_of_doc, k)
+    ckey = jnp.full((Mp,), V * k, jnp.int32).at[pos].set(key, mode="drop")
+    cval = jnp.zeros((Mp,), jnp.float32).at[pos].set(A.w_val, mode="drop")
+    # Sort by (group asc, value desc); values recovered by negation.
+    skey, sneg = jax.lax.sort((ckey, -cval), num_keys=2, is_stable=False)
+    sval = -sneg
+
+    gids = jnp.arange(V * k, dtype=jnp.int32)
+    starts = jnp.searchsorted(skey, gids, side="left").astype(jnp.int32)
+    cntf = counts2.reshape(V * k)
+    rth = sval[jnp.clip(starts + (r - 1), 0, Mp - 1)]
+    gmin = sval[jnp.clip(starts + cntf - 1, 0, Mp - 1)]
+
+    rth = rth.reshape(V, k)
+    gmin = gmin.reshape(V, k)
+    csz = cluster_sizes[None, :]
     thr = jnp.where(counts2 > r, rth, 0.0)
     degenerate = (counts2 <= r) & (r >= csz) & (counts2 == csz) & (csz > 0)
     thr = jnp.where(degenerate, gmin, thr)
     return thr.T.astype(jnp.float32)  # (k, vocab)
+
+
+def rth_highest(
+    A: DocSparse,
+    cluster_of_doc: jax.Array,  # (num_docs,) int32, -1 = not in any cluster
+    cluster_sizes: jax.Array,  # (num_topics,) int32
+    num_topics: int,
+    r: int,
+    chunk: int = 1 << 20,
+) -> jax.Array:
+    """Returns thresholds (num_topics, vocab) float32. One host sync
+    between the passes fixes the compacted static shape."""
+    assert r >= 1, "r = 0 is undefined in the reference (vector[-1] read)"
+    cluster_of_doc = jnp.asarray(cluster_of_doc, jnp.int32)
+    cluster_sizes = jnp.asarray(cluster_sizes, jnp.int32)
+    counts2, pos, m = _rth_classify(
+        A, cluster_of_doc, cluster_sizes, num_topics, r
+    )
+    M = int(m)
+    Mp = max(((M + chunk - 1) // chunk) * chunk, 8)
+    return _rth_select(
+        A, cluster_of_doc, cluster_sizes, counts2, pos,
+        num_topics, r, Mp,
+    )
 
 
 @jax.jit

@@ -59,14 +59,23 @@ def _entry_view(sp):
     return sp.d_word, sp.d_doc, sp.d_val
 
 
-def _flag_stats(sp, flagged: jax.Array):
-    """(num flagged docs, num flagged entries) — the host sync that fixes
-    the mini-batch's static shapes."""
+@jax.jit
+def _flag_stats_device(sp, flagged: jax.Array):
     word, doc, val = _entry_view(sp)
     fl = jnp.concatenate([flagged, jnp.zeros((1,), bool)])
     n_docs = jnp.sum(flagged.astype(jnp.int32))
     n_entries = jnp.sum(fl[doc].astype(jnp.int32))
-    return int(n_docs), int(n_entries)
+    return jnp.stack([n_docs, n_entries])
+
+
+def _flag_stats(sp, flagged: jax.Array):
+    """(num flagged docs, num flagged entries) — ONE host sync that fixes
+    the mini-batch's static shapes (round 2 paid two readback round trips
+    per rep here)."""
+    import numpy as np
+
+    nd, ne = np.asarray(_flag_stats_device(sp, flagged))
+    return int(nd), int(ne)
 
 
 def _pow2_at_least(n: int, lo: int) -> int:
@@ -164,6 +173,32 @@ def run_elkans(
     ub = jnp.min(dist, axis=1)
     lb = dist
     prev = None
+
+    # Bounded (m_docs, m_entries) bucket grid: each distinct pair is one
+    # _flagged_dists jit specialization, and on this backend each compile
+    # is an erratic remote round trip — cap the cache at ~8 entries.
+    # Flagged counts shrink as the bounds tighten, so early (large)
+    # buckets usually cover later reps; a full-size fallback always fits.
+    pad = sp.td_word.shape[0] if isinstance(sp, HybridSparse) \
+        else sp.d_word.shape[0]
+    full_bucket = (max(D, 8), max(pad, 64))
+    buckets = []
+
+    def pick_bucket(n_docs: int, n_entries: int):
+        fits = [b for b in buckets if b[0] >= n_docs and b[1] >= n_entries]
+        if fits:
+            return min(fits)
+        if len(buckets) >= 8:
+            if full_bucket not in buckets:
+                buckets.append(full_bucket)
+            return full_bucket
+        b = (
+            min(_pow2_at_least(n_docs, 8), full_bucket[0]),
+            min(_pow2_at_least(n_entries, 64), full_bucket[1]),
+        )
+        buckets.append(b)
+        return b
+
     for rep in range(max_reps):
         centers_new, _ = _update_centers_full(sp, assign, k)
         move = jnp.linalg.norm(centers_new - centers, axis=1)  # (k,)
@@ -178,10 +213,7 @@ def run_elkans(
                 f"({n_entries} entries)"
             )
         if n_docs > 0:
-            m_docs = min(_pow2_at_least(n_docs, 8), max(D, 8))
-            pad = sp.td_word.shape[0] if isinstance(sp, HybridSparse) \
-                else sp.d_word.shape[0]
-            m_entries = min(_pow2_at_least(n_entries, 64), max(pad, 64))
+            m_docs, m_entries = pick_bucket(n_docs, n_entries)
             ids, dmini = _flagged_dists(
                 sp, flagged, centers, docs_l2, m_docs, m_entries
             )
