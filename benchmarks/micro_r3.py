@@ -63,11 +63,34 @@ def main():
     dt = t(f"upload wire ({mb:.0f} MB compact arrays)", wire, reps=1)
     print(f"  -> {mb / dt:.1f} MB/s effective", flush=True)
 
+    # Pipelined variant: dispatch S slice transfers before any sync; if
+    # the tunnel is latency-bound this overlaps round trips.
+    for S in (4, 16):
+        def wire_sliced(S=S):
+            n = len(d16p)
+            step = (n // S // (1 << 12)) * (1 << 12)
+            parts = [jnp.asarray(d16p[i * step:(i + 1) * step])
+                     for i in range(S)]
+            parts += [jnp.asarray(cnts[i * step:(i + 1) * step])
+                      for i in range(S)]
+            return sum(
+                float(p[:: 1 << 20].astype(jnp.int32).sum()) for p in parts
+            )
+
+        dt = t(f"upload wire, {S} pipelined slices", wire_sliced, reps=1)
+        print(f"  -> {mb / dt:.1f} MB/s effective", flush=True)
+
     t0 = time.perf_counter()
     A = DocSparse.from_corpus(corpus, chunk=chunk)
     float(A.d_val.sum())
-    print(f"{'from_corpus total (upload+device build)':46s} "
+    print(f"{'from_corpus total COLD (upload+build+compile)':46s} "
           f"{(time.perf_counter()-t0)*1e3:9.1f} ms", flush=True)
+    t0 = time.perf_counter()
+    A2 = DocSparse.from_corpus(corpus, chunk=chunk)
+    float(A2.d_val.sum())
+    print(f"{'from_corpus total WARM (upload+build)':46s} "
+          f"{(time.perf_counter()-t0)*1e3:9.1f} ms", flush=True)
+    del A2
 
     # --- thresholds isolated ---
     t("thresholds (histogram + select, sync)", lambda: int(

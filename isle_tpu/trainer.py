@@ -1076,5 +1076,8 @@ class Trainer:
 
     def _checkpoint(self, stage: str, **arrays) -> None:
         path = os.path.join(self.run_dir, f"ckpt_{stage}.npz")
-        np.savez_compressed(path, **{k: v for k, v in arrays.items() if v is not None})
+        # UNcompressed: zlib on this 1-core host costs ~4-8 s per stage
+        # for the ~40 MB float32 payloads (U, centers, model) for a ~10%
+        # size saving — measured 0.09 s vs 4.4 s for the SVD checkpoint.
+        np.savez(path, **{k: v for k, v in arrays.items() if v is not None})
         self.logger.diag(f"checkpointed stage '{stage}' -> {path}")
