@@ -12,6 +12,20 @@ import time
 import numpy as np
 
 
+def sync(x):
+    """Force host readback of ONE element per output (block_until_ready
+    does not await remote execution on the axon tunnel; a full
+    np.asarray download would swamp the timing on the ~30 MB/s link)."""
+    import jax
+    import jax.numpy as jnp
+
+    tot = 0.0
+    for l in jax.tree_util.tree_leaves(x):
+        if hasattr(l, "ravel"):
+            tot += float(jnp.ravel(l)[0].astype(jnp.float32))
+    return tot
+
+
 def t(label, fn, reps=2):
     fn()  # warm (pays compile)
     t0 = time.perf_counter()
@@ -104,12 +118,12 @@ def main():
 
     # --- fused hybrid build: total + each sub-program ---
     budget = 1536 << 20
-    t("hybrid_from_thresholds TOTAL", lambda: hy.hybrid_from_thresholds(
-        A, zetas, budget, chunk=chunk
+    t("hybrid_from_thresholds TOTAL", lambda: sync(
+        hy.hybrid_from_thresholds(A, zetas, budget, chunk=chunk)[0].head
     ))
 
     sel_p = jnp.ones((D + 1,), bool)
-    t("  _occupancy", lambda: jax.block_until_ready(
+    t("  _occupancy", lambda: sync(
         hy._occupancy(A.d_word, A.d_doc, A.d_val, zetas, sel_p, D)
     ))
     keep_d, occ, new_doc, frob = hy._occupancy(
@@ -118,7 +132,7 @@ def main():
     nz_docs = int(jnp.sum(occ))
     num_head = int(min(V, max(8, budget // max(2 * nz_docs, 1)),
                        hy.max_head_rows(nz_docs)))
-    t("  _head_select_masked", lambda: jax.block_until_ready(
+    t("  _head_select_masked", lambda: sync(
         hy._head_select_masked(A.w_word, A.w_val, A.w_doc, zetas, sel_p,
                                V, num_head)
     ))
@@ -126,11 +140,11 @@ def main():
         A.w_word, A.w_val, A.w_doc, zetas, sel_p, V, num_head
     )
     ndp = jnp.concatenate([new_doc, jnp.full((1,), nz_docs, jnp.int32)])
-    t("  _build_head_masked (48M flat set)", lambda: jax.block_until_ready(
+    t("  _build_head_masked (48M flat set)", lambda: sync(
         hy._build_head_masked(A.d_word, A.d_doc, keep_d, rankx, ndp,
                               num_head, nz_docs)
     ))
-    t("  _plans_masked (both pad plans)", lambda: jax.block_until_ready(
+    t("  _plans_masked (both pad plans)", lambda: sync(
         hy._plans_masked(A.d_word, A.d_doc, keep_d, A.w_word, keep_w,
                          is_head, D, V)
     ))
@@ -140,10 +154,10 @@ def main():
     Nt = int(Nt_a); Nw = int(Nw_a)
     Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
     Nw_pad = max(((Nw + chunk - 1) // chunk) * chunk, chunk)
-    t("  _compact_tail (doc side)", lambda: jax.block_until_ready(
+    t("  _compact_tail (doc side)", lambda: sync(
         hy._compact_tail_oseg_remap(A.d_word, pos_d, off_d, ndp, Nt_pad, V)
     ))
-    t("  _compact_tail (word side)", lambda: jax.block_until_ready(
+    t("  _compact_tail (word side)", lambda: sync(
         hy._compact_tail_remap(A.w_doc, ndp, pos_w, off_w, Nw_pad, nz_docs)
     ))
 
@@ -153,14 +167,14 @@ def main():
     sizes = jnp.asarray(np.bincount(np.asarray(cl), minlength=k).astype(np.int32))
     r = hp.catchword_rank(D, k, None)
     print(f"r = {r}", flush=True)
-    t("rth classify (counts + positions)", lambda: jax.block_until_ready(
+    t("rth classify (counts + positions)", lambda: sync(
         _rth_classify(A, cl, sizes, k, r)
     ), reps=1)
     counts2, pos, m = _rth_classify(A, cl, sizes, k, r)
     M = int(m)
     print(f"  selected entries: {M} ({M / max(nnz,1):.1%} of nnz)", flush=True)
     Mp = max(((M + (1 << 20) - 1) // (1 << 20)) * (1 << 20), 8)
-    t("rth select (compact+sort+gather)", lambda: jax.block_until_ready(
+    t("rth select (compact+sort+gather)", lambda: sync(
         _rth_select(A, cl, sizes, counts2, pos, k, r, Mp)
     ), reps=1)
     t("rth_highest TOTAL", lambda: float(

@@ -63,9 +63,14 @@ def main():
     B, oc = threshold_and_copy(A, zetas, chunk=1 << 21)
     print(f"B: {B.num_docs} docs, {B.nnz} nnz", flush=True)
 
-    num_head = min(V, (1536 << 20) // max(4 * B.num_docs, 1))
-    t("to_hybrid", lambda: to_hybrid(B, int(num_head), chunk=1 << 21))
-    H = to_hybrid(B, int(num_head), chunk=1 << 21)
+    # Factored layout at the e2e head sizing (bf16 binary head, 2 B/cell)
+    # — the operator the trainer actually runs.
+    num_head = min(V, (1536 << 20) // max(2 * B.num_docs, 1))
+    rs = jnp.sqrt(zetas)
+    t("to_hybrid (factored)", lambda: to_hybrid(
+        B, int(num_head), chunk=1 << 21, row_scale=rs
+    ))
+    H = to_hybrid(B, int(num_head), chunk=1 << 21, row_scale=rs)
     print(
         f"head: {H.num_head} rows cover {H.head_nnz/H.nnz:.0%} of nnz; "
         f"tail doc-pad {H.td_word.shape[0]} w-pad {H.tw_doc.shape[0]}",

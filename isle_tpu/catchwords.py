@@ -114,9 +114,19 @@ def _rth_select(
     skey, sneg = jax.lax.sort((ckey, -cval), num_keys=2, is_stable=False)
     sval = -sneg
 
-    gids = jnp.arange(V * k, dtype=jnp.int32)
-    starts = jnp.searchsorted(skey, gids, side="left").astype(jnp.int32)
+    # Group starts within the compacted array come straight from an
+    # exclusive prefix sum of the SELECTED groups' counts in group-id
+    # order (a searchsorted over the V*k group ids measured ~2-3 s at
+    # the NYTimes shape — 10M binary searches; the cumsum is free).
     cntf = counts2.reshape(V * k)
+    csz_f = jnp.broadcast_to(
+        cluster_sizes[None, :], (V, k)
+    ).reshape(V * k)
+    sel_f = (cntf > r) | (
+        (cntf <= r) & (r >= csz_f) & (cntf == csz_f) & (csz_f > 0)
+    )
+    sizes_sel = jnp.where(sel_f, cntf, 0)
+    starts = (jnp.cumsum(sizes_sel) - sizes_sel).astype(jnp.int32)
     rth = sval[jnp.clip(starts + (r - 1), 0, Mp - 1)]
     gmin = sval[jnp.clip(starts + cntf - 1, 0, Mp - 1)]
 

@@ -501,9 +501,8 @@ def _occupancy(word, doc, val, zetas, sel_p, num_docs: int):
     return keep, occ, new_doc, frob_sq
 
 
-@partial(jax.jit, static_argnames=("vocab", "num_head"))
-def _head_select_masked(w_word, w_val, w_doc, zetas, sel_p, vocab: int,
-                        num_head: int):
+def _head_select_masked_body(w_word, w_val, w_doc, zetas, sel_p, vocab: int,
+                             num_head: int):
     """Head selection over the post-threshold entries; computes the
     word-sorted keep mask in the same program (it was a 0.9 s chain of
     eager ops at the NYTimes shape) and returns it for reuse. Word counts
@@ -531,6 +530,11 @@ def _head_select_masked(w_word, w_val, w_doc, zetas, sel_p, vocab: int,
     return head_words, is_head, rank, keep_w, rankx
 
 
+_head_select_masked = partial(jax.jit, static_argnames=("vocab", "num_head"))(
+    _head_select_masked_body
+)
+
+
 @partial(jax.jit, static_argnames=("num_docs", "vocab"))
 def _plans_masked(
     d_word, d_doc, keep_d, w_word, keep_w, is_head, num_docs: int, vocab: int
@@ -553,8 +557,35 @@ def _plans_masked(
     )
 
 
-@partial(jax.jit, static_argnames=("num_head", "nz_docs"))
-def _build_head_masked(
+@partial(jax.jit, static_argnames=("vocab", "num_docs", "num_head",
+                                   "nz_docs"))
+def _select_build_plan(
+    d_word, d_doc, w_word, w_val, w_doc, zetas, sel_p, keep_d, ndp,
+    vocab: int, num_docs: int, num_head: int, nz_docs: int,
+):
+    """Head selection + head build + both tail pad-plans in ONE program
+    (they all run between the nz_docs sync and the tail-size sync; as
+    three separate jits each re-streamed the 48M entry arrays — fusing
+    lets XLA share the gathers and drops two kernel round trips)."""
+    head_words, is_head, rank, keep_w, rankx = _head_select_masked_body(
+        w_word, w_val, w_doc, zetas, sel_p, vocab, num_head
+    )
+    head, head_nnz = _build_head_masked_body(
+        d_word, d_doc, keep_d, rankx, ndp, num_head, nz_docs
+    )
+    mask_d = keep_d & ~is_head[d_word]
+    mask_w = keep_w & ~is_head[w_word]
+    pos_d, padded_d, off_d = _pad8_plan(mask_d, d_doc, num_docs)
+    pos_w, padded_w, off_w = _pad8_plan(mask_w, w_word, vocab)
+    return (
+        head_words, head, head_nnz,
+        pos_d, jnp.sum(padded_d), off_d,
+        pos_w, jnp.sum(padded_w), off_w,
+        jnp.sum(mask_d.astype(jnp.int32)),
+    )
+
+
+def _build_head_masked_body(
     word, doc, keep, rankx, ndp, num_head: int, nz_docs: int
 ):
     r = rankx[word]  # one gather for rank AND head membership
@@ -566,6 +597,11 @@ def _build_head_masked(
     H = H.at[flat].set(jnp.bfloat16(1.0))
     H = H.reshape(num_head + 1, nz_docs + 1)
     return H[:num_head, :nz_docs], hmask.sum()
+
+
+_build_head_masked = partial(
+    jax.jit, static_argnames=("num_head", "nz_docs")
+)(_build_head_masked_body)
 
 
 def hybrid_from_thresholds(
@@ -618,19 +654,13 @@ def hybrid_from_thresholds(
     num_head = int(
         min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)), cap)
     )
-    head_words, is_head, rank, keep_w, rankx = _head_select_masked(
-        A.w_word, A.w_val, A.w_doc, zetas, sel_p, V, num_head
-    )
-
     ndp = jnp.concatenate(
         [new_doc, jnp.full((1,), nz_docs, jnp.int32)]
     )
-    head, head_nnz = _build_head_masked(
-        A.d_word, A.d_doc, keep_d, rankx, ndp, num_head, nz_docs
-    )
-
-    pos_d, Nt_a, off_d, pos_w, Nw_a, off_w, tail_nnz = _plans_masked(
-        A.d_word, A.d_doc, keep_d, A.w_word, keep_w, is_head, D, V
+    (head_words, head, head_nnz,
+     pos_d, Nt_a, off_d, pos_w, Nw_a, off_w, tail_nnz) = _select_build_plan(
+        A.d_word, A.d_doc, A.w_word, A.w_val, A.w_doc, zetas, sel_p,
+        keep_d, ndp, V, D, num_head, nz_docs,
     )
     Nt = int(Nt_a)
     Nw = int(Nw_a)

@@ -57,19 +57,23 @@ def encode_word_deltas(rows: np.ndarray, offsets: np.ndarray,
     if hi is None:
         hi = len(offsets) - 1
     a, b = int(offsets[lo]), int(offsets[hi])
-    r = rows[a:b].astype(np.int64)
+    r = np.ascontiguousarray(rows[a:b], dtype=np.int32)
     n = len(r)
     if n == 0:
         return (np.zeros(0, np.uint16), np.zeros(0, np.int64),
                 np.zeros(0, np.int32))
-    delta = np.empty(n, np.int64)
+    # int32 throughout, minimal passes: the int64 version of this
+    # function measured 5.2 s at the 48M NYTimes ingest on this 1-core
+    # host — comparable to the wire time it feeds.
+    delta = np.empty(n, np.int32)
     delta[0] = r[0]
-    delta[1:] = r[1:] - r[:-1]
+    np.subtract(r[1:], r[:-1], out=delta[1:])
     starts = (offsets[lo:hi] - a).astype(np.int64)
     starts = starts[starts < n]
     delta[starts] = r[starts]
-    exc = np.flatnonzero((delta > 65534) | (delta < 0))
-    d16 = np.clip(delta, 0, 65535).astype(np.uint16)
+    # out-of-range test in one unsigned compare (negatives view huge)
+    exc = np.flatnonzero(delta.view(np.uint32) > 65534)
+    d16 = delta.astype(np.uint16)  # wraps out-of-range; overwritten next
     d16[exc] = 65535
     return d16, exc, delta[exc].astype(np.int32)
 
