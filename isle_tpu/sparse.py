@@ -79,16 +79,25 @@ def encode_word_deltas(rows: np.ndarray, offsets: np.ndarray,
 
 
 def decode_word_deltas(d16, exc_idx, exc_val, entry_doc_start, in_range,
-                       vocab: int):
+                       vocab: int, doc_of_entry=None, offsets=None):
     """Device-side inverse of encode_word_deltas (traced inside the
     caller's jit). `entry_doc_start` is each entry's doc-start entry
     index; the int32 running sum may wrap, but the within-doc difference
-    is < 2^31 so two's-complement subtraction recovers it exactly."""
+    is < 2^31 so two's-complement subtraction recovers it exactly.
+
+    When (doc_of_entry, offsets) are given, the per-entry base is read
+    as (E ∘ offsets)[doc] — a gather from the small (D+1,) table instead
+    of the nnz-sized E table (identical values; the big-table gather
+    measured several hundred ms at the 48M shape)."""
     delta = d16.astype(jnp.int32)
     delta = delta.at[exc_idx].set(exc_val, mode="drop")
     G = jnp.cumsum(delta)
     E = jnp.concatenate([jnp.zeros((1,), jnp.int32), G])
-    w = G - E[entry_doc_start]
+    if doc_of_entry is not None:
+        base = E[offsets][doc_of_entry]
+    else:
+        base = E[entry_doc_start]
+    w = G - base
     return jnp.where(in_range, jnp.clip(w, 0, vocab), vocab)
 
 
@@ -237,7 +246,8 @@ def _device_build(d16, exc_i, exc_v, counts, offsets, doc_sums, avg, nnz,
     # offsets has num_docs+1 entries and d_doc is clamped to num_docs, so
     # offsets[d_doc] is each entry's doc-start index (pads -> nnz).
     d_word = decode_word_deltas(
-        d16, exc_i, exc_v, offsets[d_doc], in_range, vocab
+        d16, exc_i, exc_v, None, in_range, vocab,
+        doc_of_entry=d_doc, offsets=offsets,
     )
     # normalized value = avg * (count / doc_sum) in f32, the same
     # expression as the host computation (src/sparseMatrix.cpp:158-159).

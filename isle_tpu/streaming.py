@@ -58,7 +58,8 @@ def _rebuild_chunk(
     dl = jnp.minimum(jnp.cumsum(marks), max_docs - 1)
     in_range = pos < cnt
     w = decode_word_deltas(
-        d16, exc_i, exc_v, local_offsets[dl], in_range, vocab
+        d16, exc_i, exc_v, None, in_range, vocab,
+        doc_of_entry=dl, offsets=local_offsets,
     )
     d = jnp.where(in_range, jnp.minimum(lo + dl, num_docs), num_docs)
     c = counts.astype(jnp.float32)
