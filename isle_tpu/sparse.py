@@ -197,14 +197,33 @@ class DocSparse:
         V, D, nnz = corpus.vocab_size, corpus.num_docs, corpus.nnz
         npad = max(chunk, ((nnz + chunk - 1) // chunk) * chunk)
         cmax = corpus.counts.max() if nnz else 0
-        cdtype = (
-            np.uint8 if cmax < 256 else np.uint16 if cmax < 65536 else np.int32
-        )
         d16, exc_i, exc_v = encode_word_deltas(corpus.rows, corpus.offsets)
         exc_i, exc_v = _pad_exceptions(exc_i, exc_v, npad)
-        counts = jnp.asarray(
-            _pad_to(corpus.counts.astype(cdtype), npad, 0)
-        )
+        # Counts: nibble-pack when counts < 15 dominate (bag-of-words
+        # counts are tiny — the full u8 array was 48 MB = ~1.3 s of wire
+        # at the NYTimes shape; two counts per byte halves it). Counts
+        # >= 15 ride the exception list (sentinel 15, true value
+        # scattered on device).
+        big = np.flatnonzero(corpus.counts >= 15)
+        nibble = nnz > 0 and len(big) < 0.02 * nnz
+        if nibble:
+            cn = np.minimum(corpus.counts, 15).astype(np.uint8)
+            cn = _pad_to(cn, npad, 0)
+            packed = (cn[0::2] | (cn[1::2] << 4)).astype(np.uint8)
+            counts = jnp.asarray(packed)
+            cexc_i, cexc_v = _pad_exceptions(
+                big.astype(np.int64),
+                corpus.counts[big].astype(np.int32), npad,
+            )
+        else:
+            cdtype = (
+                np.uint8 if cmax < 256
+                else np.uint16 if cmax < 65536 else np.int32
+            )
+            counts = jnp.asarray(_pad_to(corpus.counts.astype(cdtype), npad, 0))
+            cexc_i, cexc_v = _pad_exceptions(
+                np.zeros(0, np.int64), np.zeros(0, np.int32), npad
+            )
         offsets = jnp.asarray(corpus.offsets.astype(np.int32))
         doc_sums = np.ones(D + 1, np.float32)
         if nnz:
@@ -214,6 +233,8 @@ class DocSparse:
             jnp.asarray(exc_i),
             jnp.asarray(exc_v),
             counts,
+            jnp.asarray(cexc_i),
+            jnp.asarray(cexc_v),
             offsets,
             jnp.asarray(doc_sums),
             np.float32(corpus.avg_doc_sz),
@@ -221,6 +242,7 @@ class DocSparse:
             V,
             D,
             npad,
+            nibble,
         )
         return DocSparse(
             d_word=dw, d_doc=dd, d_val=dv,
@@ -229,11 +251,12 @@ class DocSparse:
         )
 
 
-@partial(jax.jit, static_argnames=("vocab", "num_docs", "npad"))
-def _device_build(d16, exc_i, exc_v, counts, offsets, doc_sums, avg, nnz,
-                  vocab, num_docs, npad):
+@partial(jax.jit, static_argnames=("vocab", "num_docs", "npad", "nibble"))
+def _device_build(d16, exc_i, exc_v, counts, cexc_i, cexc_v, offsets,
+                  doc_sums, avg, nnz, vocab, num_docs, npad, nibble):
     """Reconstruct the dual-sorted COO arrays on device from the compact
-    upload (u16 word deltas + raw counts + offsets; see from_corpus)."""
+    upload (u16 word deltas + raw counts [nibble-packed when nibble=True]
+    + offsets; see from_corpus)."""
     # doc id per entry: +1 markers at each doc's start offset, cumsum.
     # Empty docs repeat offsets, so scatter-ADD accumulates multiplicity;
     # entries past offsets[num_docs] (padding) land at num_docs.
@@ -251,7 +274,13 @@ def _device_build(d16, exc_i, exc_v, counts, offsets, doc_sums, avg, nnz,
     )
     # normalized value = avg * (count / doc_sum) in f32, the same
     # expression as the host computation (src/sparseMatrix.cpp:158-159).
-    c = counts.astype(jnp.float32)
+    if nibble:
+        lo = (counts & 15).astype(jnp.float32)
+        hi = (counts >> 4).astype(jnp.float32)
+        c = jnp.stack([lo, hi], axis=1).reshape(npad)
+        c = c.at[cexc_i].set(cexc_v.astype(jnp.float32), mode="drop")
+    else:
+        c = counts.astype(jnp.float32)
     d_val = jnp.where(
         d_word < vocab, avg * (c / doc_sums[d_doc]), 0.0
     ).astype(jnp.float32)

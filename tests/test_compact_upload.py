@@ -105,3 +105,34 @@ def test_word_delta_codec_wraparound():
         jnp.asarray(starts), jnp.ones(len(rows), bool), V,
     )
     np.testing.assert_array_equal(np.asarray(dec), rows)
+
+
+def test_nibble_counts_with_exceptions():
+    """Nibble-packed counts (two per byte, counts >= 15 via the exception
+    list) must rebuild values bit-identically, including at the odd/even
+    pack positions and for large-count entries."""
+    rng = np.random.default_rng(9)
+    V, D = 40, 30
+    docs = np.sort(rng.integers(0, D, 400))
+    words = rng.integers(0, V, 400)
+    order = np.lexsort((words, docs))
+    docs, words = docs[order], words[order]
+    keep = np.ones(len(docs), bool)
+    keep[1:] = (docs[1:] != docs[:-1]) | (words[1:] != words[:-1])
+    docs, words = docs[keep], words[keep]
+    counts = rng.integers(1, 8, len(docs)).astype(np.int64)
+    counts[::120] = rng.integers(15, 5000, len(counts[::120]))  # sparse exceptions keep the nibble path active (< 2%)
+    c = Corpus.from_entries(docs, words, counts, vocab_size=V, num_docs=D,
+                            sort_dedup=False)
+    sp_fat = DocSparse.from_corpus(c, chunk=256, compact_upload=False)
+    sp_cmp = DocSparse.from_corpus(c, chunk=256, compact_upload=True)
+    assert (c.counts >= 15).mean() < 0.02  # nibble path is the one under test
+    np.testing.assert_array_equal(
+        np.asarray(sp_fat.d_word), np.asarray(sp_cmp.d_word)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_fat.d_val), np.asarray(sp_cmp.d_val)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_fat.w_val), np.asarray(sp_cmp.w_val)
+    )
