@@ -362,9 +362,14 @@ def lanczos_device(
     as block_ks (per-eigenpair |border residual| / lambda < tol, longest
     converged prefix) so the two solvers are comparable at the same tol.
 
-    The whole restart loop runs in one jitted lax.while_loop (each host
-    sync costs ~30 ms on this tunnel). Width-1 SpMMs waste most of the
-    128-wide lanes, so this is a validation tool, not the production
+    HOST-DRIVEN stepping: each Lanczos step is its own jitted program and
+    the host syncs once per restart. At full vocab a restart cycle is
+    ~100 width-1 operator applications; packing the whole loop into one
+    device program (as block_ks_device does with its ~12 cheap restarts)
+    produced a single multi-minute XLA execution that the remote TPU
+    worker reproducibly killed ("TPU worker process crashed") — the
+    round-3 on-hardware check caught this. Width-1 SpMMs waste most of
+    the 128-wide lanes, so this is a validation tool, not the production
     solver — use it to cross-check block_ks spectra at full vocab.
     """
     import time
@@ -420,44 +425,30 @@ def lanczos_device(
         Tn = Tn.at[nev, :nev].set(resid[0, :nev])
         return Vn, Tn, w[:nev], nconv
 
+    step_jit = jax.jit(step)
+    truncate_jit = jax.jit(truncate)
+
     @jax.jit
-    def solve(data, key):
+    def init_basis(key):
         v0 = jax.random.normal(key, (dim,), jnp.float32)
         v0 = v0 / jnp.linalg.norm(v0)
         V = jnp.zeros((dim, ncv), jnp.float32).at[:, 0].set(v0)
         T = jnp.zeros((ncv, K), jnp.float32)
-
-        def init_body(j, carry):
-            V, T = carry
-            return step(data, V, T, j)
-
-        V, T = jax.lax.fori_loop(0, K, init_body, (V, T))
-        V, T, w, nconv = truncate(V, T)
-
-        def cond(st):
-            V, T, w, nconv, restarts = st
-            return (nconv < nev) & (restarts < max_restarts)
-
-        def body(st):
-            V, T, w, nconv, restarts = st
-
-            def rexp(j, carry):
-                V, T = carry
-                return step(data, V, T, nev + j)
-
-            V, T = jax.lax.fori_loop(0, s, rexp, (V, T))
-            V, T, w, nconv = truncate(V, T)
-            return V, T, w, nconv, restarts + 1
-
-        V, T, w, nconv, restarts = jax.lax.while_loop(
-            cond, body, (V, T, w, nconv, jnp.int32(0))
-        )
-        return V[:, :nev], w, nconv, restarts
+        return V, T
 
     t0 = time.perf_counter()
-    evecs, w, nconv, restarts = solve(op_data, key)
+    V, T = init_basis(key)
+    for j in range(K):
+        V, T = step_jit(op_data, V, T, jnp.int32(j))
+    V, T, w, nconv = truncate_jit(V, T)
+    restarts = 0
+    while int(nconv) < nev and restarts < max_restarts:
+        for j in range(s):
+            V, T = step_jit(op_data, V, T, jnp.int32(nev + j))
+        V, T, w, nconv = truncate_jit(V, T)
+        restarts += 1
+    evecs = V[:, :nev]
     nconv = int(nconv)
-    restarts = int(restarts)
     seconds = time.perf_counter() - t0
     if timer is not None:
         timer.diag(

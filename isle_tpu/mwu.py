@@ -52,7 +52,7 @@ class InferBatch:
     words_in_doc: np.ndarray  # (num_docs,) int32 (pre-filter count)
     num_docs: int
     avg_doc_sz: float
-    counts: np.ndarray = None  # (num_docs, L) uint16 or None
+    counts: np.ndarray = None  # (num_docs, L) uint8/uint16 or None
     doc_sums: np.ndarray = None  # (num_docs,) float32 or None
 
 
@@ -94,13 +94,18 @@ def build_infer_batch(corpus, model_mass: np.ndarray, pad_to: int = 8) -> InferB
         and len(rows)
         and float(corpus.counts.max()) < 65536.0
         and bool(np.all(corpus.counts == np.floor(corpus.counts)))
-        and corpus.vals_match(
-            lambda c, ds: c.astype(np.uint16).astype(np.float32) / ds
-        )
     ):
-        counts_p = np.zeros((D, L), np.uint16)
-        counts_p[kd, kw] = corpus.counts[keep].astype(np.uint16)
-        doc_sums = corpus.doc_sums()
+        # u8 when every count fits (typical bag-of-words): halves the
+        # per-slot count bytes on the upload-bound link.
+        cdtype = (
+            np.uint8 if float(corpus.counts.max()) < 256.0 else np.uint16
+        )
+        if corpus.vals_match(
+            lambda c, ds: c.astype(cdtype).astype(np.float32) / ds
+        ):
+            counts_p = np.zeros((D, L), cdtype)
+            counts_p[kd, kw] = corpus.counts[keep].astype(cdtype)
+            doc_sums = corpus.doc_sums()
 
     return InferBatch(
         word_idx=word_idx,
@@ -296,7 +301,7 @@ def infer_all(
                 ds = batch.doc_sums[idx]
                 if bs < bs_cap:
                     cn = np.concatenate(
-                        [cn, np.zeros((bs_cap - bs, edge), np.uint16)]
+                        [cn, np.zeros((bs_cap - bs, edge), cn.dtype)]
                     )
                     ds = np.concatenate(
                         [ds, np.ones(bs_cap - bs, np.float32)]
