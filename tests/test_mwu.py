@@ -171,3 +171,39 @@ def test_top_n_matches_full_weights():
         expected[full_top] = w_full[d][full_top]
         np.testing.assert_array_equal(w_top[d], expected)
         assert np.argmax(w_top[d]) == np.argmax(w_full[d])
+
+
+def test_compact_delta_exceptions_large_vocab():
+    """Row-delta encoding exceptions: vocab > 65535 so a doc whose first
+    word is a high id needs the exception list; results must match the
+    fat path exactly."""
+    rng = np.random.default_rng(21)
+    V, D, k = 80_000, 12, 5
+    M = np.zeros((V, k), np.float32)
+    act = np.concatenate([rng.integers(0, 200, 40),
+                          rng.integers(66000, V, 40)])
+    for t in range(k):
+        M[act[rng.random(len(act)) < 0.6], t] = rng.random()
+    M /= np.maximum(M.sum(axis=0, keepdims=True), 1e-9)
+    docs, words, counts = [], [], []
+    for d in range(D):
+        ws = np.unique(rng.choice(act, 10))
+        docs.append(np.full(len(ws), d)); words.append(ws)
+        counts.append(rng.integers(1, 5, len(ws)))
+    corpus = Corpus.from_entries(
+        np.concatenate(docs), np.concatenate(words), np.concatenate(counts),
+        vocab_size=V, num_docs=D, normalize_to_one=True,
+    )
+    batch = build_infer_batch(corpus, M.sum(axis=1))
+    assert batch.counts is not None
+    # sanity: the encoder really produced exceptions for this data
+    from isle_tpu.mwu import _encode_row_deltas
+    _, exc_i, _ = _encode_row_deltas(batch.word_idx, V)
+    assert (exc_i < batch.word_idx.size).any()
+    w_c, c1, l1, _ = infer_all(M, batch, 15, 10.0)
+    batch_fat = build_infer_batch(corpus, M.sum(axis=1))
+    batch_fat.counts = None  # force the fat f32 path
+    w_f, c2, l2, _ = infer_all(M, batch_fat, 15, 10.0)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(w_c, w_f)
+    np.testing.assert_array_equal(l1, l2)
