@@ -70,19 +70,22 @@ def doc_topic_mass(
         w, d, v = args
         t = cwt[w]
         is_cw = t >= 0
-        # One-hot ROW scatter keyed by the (sorted) doc id: the flat
-        # scalar scatter ran at the ~45M/s scalar rate (measured 878 ms
-        # at the 48M shape); sorted row scatters run ~2x that.
-        g = jax.nn.one_hot(jnp.maximum(t, 0), k, dtype=jnp.float32)
-        g = g * jnp.where(is_cw, v, 0.0)[:, None]
+        # Flat SCALAR scatter. A one-hot row scatter keyed by the doc id
+        # was tried and is SLOWER here (warm isolated A/B at the NYT
+        # 48M-nnz shape, benchmarks/micro_mass.py: one-hot 1175 ms vs
+        # flat 873 ms) — k=100-wide one-hot rows write 100x the bytes of
+        # the single scalar per entry and the row-scatter rate does not
+        # make that back at this width.
         dd = jnp.where(is_cw, d, D)
-        acc = acc.at[dd].add(g, indices_are_sorted=False)
+        acc = acc.at[dd * jnp.int32(k) + jnp.maximum(t, 0)].add(
+            jnp.where(is_cw, v, 0.0)
+        )
         return acc, None
 
     out, _ = jax.lax.scan(
-        body, jnp.zeros((D + 1, k), jnp.float32), (words, docs, vals)
+        body, jnp.zeros(((D + 1) * k,), jnp.float32), (words, docs, vals)
     )
-    return out[:D]
+    return out.reshape(D + 1, k)[:D]
 
 
 @partial(jax.jit, static_argnames=("rank_threshold",))
