@@ -36,17 +36,20 @@ from .sparse import DocSparse
 from .thresholds import freq_bound, _zeta_from_hist
 
 
-@partial(jax.jit, static_argnames=("vocab", "num_docs", "n_pad", "max_docs"))
+@partial(jax.jit, static_argnames=(
+    "vocab", "num_docs", "n_pad", "max_docs", "nibble"))
 def _rebuild_chunk(
-    d16, exc_i, exc_v, counts, local_offsets, cnt, lo, doc_sums, avg,
-    vocab: int, num_docs: int, n_pad: int, max_docs: int,
+    d16, exc_i, exc_v, counts, cexc_i, cexc_v, local_offsets, cnt, lo,
+    doc_sums, avg,
+    vocab: int, num_docs: int, n_pad: int, max_docs: int, nibble: bool,
 ):
     """Device-side reconstruction of (w, v, d) from the compact chunk
-    upload (u16 word deltas + raw counts + per-chunk offsets): doc ids
-    via the +1-marker cumsum (as sparse._device_build), word ids via the
-    delta decode, and normalized values avg * (count / doc_sum)
-    recomputed in f32 — the same expression, in the same order, as
-    Corpus.from_entries. Pads: word=vocab, val=0, doc=num_docs."""
+    upload (u16 word deltas + raw counts [nibble-packed when nibble=True,
+    as sparse._device_build] + per-chunk offsets): doc ids via the
+    +1-marker cumsum (as sparse._device_build), word ids via the delta
+    decode, and normalized values avg * (count / doc_sum) recomputed in
+    f32 — the same expression, in the same order, as Corpus.from_entries.
+    Pads: word=vocab, val=0, doc=num_docs."""
     from .sparse import decode_word_deltas
 
     pos = jnp.arange(n_pad, dtype=jnp.int32)
@@ -62,7 +65,13 @@ def _rebuild_chunk(
         doc_of_entry=dl, offsets=local_offsets,
     )
     d = jnp.where(in_range, jnp.minimum(lo + dl, num_docs), num_docs)
-    c = counts.astype(jnp.float32)
+    if nibble:
+        c_lo = (counts & 15).astype(jnp.float32)
+        c_hi = (counts >> 4).astype(jnp.float32)
+        c = jnp.stack([c_lo, c_hi], axis=1).reshape(n_pad)
+        c = c.at[cexc_i].set(cexc_v.astype(jnp.float32), mode="drop")
+    else:
+        c = counts.astype(jnp.float32)
     ds = jnp.concatenate([doc_sums, jnp.ones((1,), jnp.float32)])
     v = jnp.where(w < vocab, avg * (c / ds[d]), 0.0)
     return w, v, d
@@ -115,13 +124,21 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
     cdtype = (
         np.uint8 if cmax < 256 else np.uint16 if cmax < 65536 else np.int32
     )
+    # Nibble-pack counts when counts < 15 dominate (same rule as the
+    # in-core upload, sparse.from_corpus): two counts per byte halves the
+    # count wire of EVERY streamed pass (~10% of pass bytes at PubMed);
+    # counts >= 15 ride a per-chunk exception list restored exactly.
+    nbig = int(np.count_nonzero(corpus.counts >= 15)) if corpus.nnz else 0
+    nibble = corpus.nnz > 0 and nbig < 0.02 * corpus.nnz
     avg = np.float32(corpus.avg_doc_sz)
     # The rebuild assumes the training normalization avg*(count/doc_sum)
-    # with the compact dtype cast; verify on a sample and fall back to
-    # shipping materialized values if the corpus was normalized
-    # differently (e.g. to unit mass).
+    # with the compact dtype cast (exact int32 when nibble-packed:
+    # small counts are stored verbatim, big ones via the exception list);
+    # verify on a sample and fall back to shipping materialized values if
+    # the corpus was normalized differently (e.g. to unit mass).
+    rebuild_dtype = np.int32 if nibble else cdtype
     if corpus.nnz and not corpus.vals_match(
-        lambda c, ds: avg * (c.astype(cdtype).astype(np.float32) / ds)
+        lambda c, ds: avg * (c.astype(rebuild_dtype).astype(np.float32) / ds)
     ):
         return load_fat
     doc_sums = jnp.asarray(corpus.doc_sums())  # one (D,) upload, reused
@@ -148,8 +165,21 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
         # specialization (the capacity is a static shape)
         exc_i, exc_v = _pad_exceptions(exc_i, exc_v, n_pad,
                                        min_cap=1 << 16)
-        c = jnp.asarray(np.pad(corpus.counts[a:b].astype(cdtype),
-                               (0, n_pad - cnt)))
+        craw = corpus.counts[a:b]
+        if nibble:
+            cn = np.pad(np.minimum(craw, 15).astype(np.uint8),
+                        (0, n_pad - cnt))
+            c = jnp.asarray((cn[0::2] | (cn[1::2] << 4)).astype(np.uint8))
+            bidx = np.flatnonzero(craw >= 15)
+            cexc_i, cexc_v = _pad_exceptions(
+                bidx.astype(np.int64), craw[bidx].astype(np.int32),
+                n_pad, min_cap=1 << 16,
+            )
+        else:
+            c = jnp.asarray(np.pad(craw.astype(cdtype), (0, n_pad - cnt)))
+            cexc_i, cexc_v = _pad_exceptions(
+                np.zeros(0, np.int64), np.zeros(0, np.int32), n_pad
+            )
         off = jnp.asarray(np.pad(
             (corpus.offsets[lo:hi + 1] - a).astype(np.int32),
             (0, max_docs - (hi - lo)), constant_values=cnt,
@@ -157,8 +187,9 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
         return _rebuild_chunk(
             jnp.asarray(np.pad(d16, (0, n_pad - cnt))),
             jnp.asarray(exc_i), jnp.asarray(exc_v),
-            c, off, jnp.int32(cnt), jnp.int32(lo), doc_sums, avg,
-            V, D, n_pad, max_docs + 1,
+            c, jnp.asarray(cexc_i), jnp.asarray(cexc_v),
+            off, jnp.int32(cnt), jnp.int32(lo), doc_sums, avg,
+            V, D, n_pad, max_docs + 1, nibble,
         )
 
     return load
