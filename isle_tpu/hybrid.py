@@ -604,6 +604,68 @@ _build_head_masked = partial(
 )(_build_head_masked_body)
 
 
+@partial(jax.jit, static_argnames=("vocab", "num_docs", "num_head"))
+def _select_build_plan_full(
+    d_word, d_doc, d_val, w_word, w_val, w_doc, zetas,
+    vocab: int, num_docs: int, num_head: int,
+):
+    """The no-sampling fused build: occupancy + head selection + head
+    build + both tail pad-plans in ONE program with ONE host sync
+    (the separate _occupancy program cost 1.36 s isolated at the NYTimes
+    shape just to fix nz_docs for the head's static shape — instead the
+    head is built over RENUMBERED doc columns at raw-D width, so its
+    shape no longer depends on nz_docs; callers slice [:, :nz_docs]
+    after the sync only when docs were actually dropped)."""
+    from .bmatrix import _keep_mask
+
+    D = num_docs
+    keep_d = _keep_mask(d_word, d_val, zetas)
+    # occupancy from kept-prefix sums at doc boundaries (see _pad8_plan)
+    G = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(keep_d.astype(jnp.int32))]
+    )
+    bounds = jnp.searchsorted(
+        d_doc, jnp.arange(D + 1, dtype=d_doc.dtype), side="left"
+    )
+    kept_before = G[bounds]
+    occ = (kept_before[1:] - kept_before[:-1]) > 0
+    new_doc = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    frob_sq = jnp.sum(
+        jnp.where(
+            keep_d,
+            jnp.concatenate([zetas, jnp.zeros((1,), jnp.float32)])[d_word],
+            0.0,
+        )
+    )
+    sel_p = jnp.ones((D + 1,), bool)
+    head_words, is_head, rank, keep_w, rankx = _head_select_masked_body(
+        w_word, w_val, w_doc, zetas, sel_p, vocab, num_head
+    )
+    # head build at raw-D column width, renumbered columns: pads and
+    # non-head entries go to column D (sliced off)
+    r = rankx[d_word]
+    hmask = keep_d & (r >= 0)
+    rr = jnp.where(hmask, r, num_head)
+    ndp = jnp.concatenate([new_doc, jnp.zeros((1,), jnp.int32)])
+    dd = jnp.where(hmask, ndp[jnp.minimum(d_doc, D)], D)
+    flat = rr * jnp.int32(D + 1) + dd
+    H = jnp.zeros(((num_head + 1) * (D + 1),), jnp.bfloat16)
+    H = H.at[flat].set(jnp.bfloat16(1.0))
+    head = H.reshape(num_head + 1, D + 1)[:num_head, :D]
+    head_nnz = hmask.sum()
+    # tail plans on RAW ids (renumbering is monotone; see _plans_masked)
+    mask_d = keep_d & ~is_head[d_word]
+    mask_w = keep_w & ~is_head[w_word]
+    pos_d, padded_d, off_d = _pad8_plan(mask_d, d_doc, D)
+    pos_w, padded_w, off_w = _pad8_plan(mask_w, w_word, vocab)
+    return (
+        head_words, head, head_nnz, occ, new_doc, frob_sq,
+        pos_d, jnp.sum(padded_d), off_d,
+        pos_w, jnp.sum(padded_w), off_w,
+        jnp.sum(mask_d.astype(jnp.int32)),
+    )
+
+
 def hybrid_from_thresholds(
     A: DocSparse,
     zetas: jax.Array,
@@ -625,44 +687,78 @@ def hybrid_from_thresholds(
     V, D = A.vocab, A.num_docs
     zetas = jnp.asarray(zetas, jnp.float32)
 
-    sel = None
-    if sample_rate is not None:
+    if sample_rate is None:
+        # Single-sync fused path (no sampling): occupancy rides the same
+        # program as head select/build and the pad plans, so the 48M
+        # entry arrays stream ONCE and only one host round trip fixes the
+        # static tail shapes. num_head is budgeted from A.num_docs rather
+        # than nz_docs — head bytes stay <= budget (nz_docs <= num_docs)
+        # and the two are identical whenever no doc loses all its entries
+        # (the common case; sampling runs keep the nz_docs-exact budget
+        # via the two-sync path below).
+        cap = max_head_rows(D)
+        if cap < 8:
+            raise ValueError(
+                f"num_docs={D} exceeds the int32 flat-scatter head "
+                f"capacity (max_head_rows={cap}); disable the dense head "
+                "(dense_head_bytes=0) or shard the docs axis"
+            )
+        num_head = int(
+            min(V, max(8, head_budget_bytes // max(2 * D, 1)), cap)
+        )
+        (head_words, head, head_nnz, occ, new_doc, frob_sq,
+         pos_d, Nt_a, off_d, pos_w, Nw_a, off_w,
+         tail_nnz) = _select_build_plan_full(
+            A.d_word, A.d_doc, A.d_val, A.w_word, A.w_val, A.w_doc,
+            zetas, V, D, num_head,
+        )
+        # one batched readback (each separate int()/np.asarray pays a
+        # ~30 ms tunnel round trip)
+        occ_h, Nt, Nw_a, head_nnz, tail_nnz, frob_sq = jax.device_get(
+            (occ, Nt_a, Nw_a, head_nnz, tail_nnz, frob_sq)
+        )
+        nz_docs = int(occ_h.sum())
+        original_cols = np.flatnonzero(occ_h).astype(np.int32)
+        if nz_docs < D:
+            head = head[:, :nz_docs]
+        ndp = jnp.concatenate(
+            [new_doc, jnp.full((1,), nz_docs, jnp.int32)]
+        )
+        Nt = int(Nt)
+    else:
         assert key is not None
         keep_d0 = _keep_mask(A.d_word, A.d_val, zetas)
         sel = _sample_select(
             A.d_word, A.d_doc, keep_d0, zetas, D, int(sample_rate * D), key
         )
-    sel_p = (
-        jnp.ones((D + 1,), bool)
-        if sel is None
-        else jnp.concatenate([sel, jnp.zeros((1,), bool)])
-    )
+        sel_p = jnp.concatenate([sel, jnp.zeros((1,), bool)])
 
-    keep_d, occ, new_doc, frob_sq = _occupancy(
-        A.d_word, A.d_doc, A.d_val, zetas, sel_p, D
-    )
-    nz_docs = int(jnp.sum(occ))
-    original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
-
-    cap = max_head_rows(nz_docs)
-    if cap < 8:
-        raise ValueError(
-            f"nz_docs={nz_docs} exceeds the int32 flat-scatter head "
-            f"capacity (max_head_rows={cap}); disable the dense head "
-            "(dense_head_bytes=0) or shard the docs axis"
+        keep_d, occ, new_doc, frob_sq = _occupancy(
+            A.d_word, A.d_doc, A.d_val, zetas, sel_p, D
         )
-    num_head = int(
-        min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)), cap)
-    )
-    ndp = jnp.concatenate(
-        [new_doc, jnp.full((1,), nz_docs, jnp.int32)]
-    )
-    (head_words, head, head_nnz,
-     pos_d, Nt_a, off_d, pos_w, Nw_a, off_w, tail_nnz) = _select_build_plan(
-        A.d_word, A.d_doc, A.w_word, A.w_val, A.w_doc, zetas, sel_p,
-        keep_d, ndp, V, D, num_head, nz_docs,
-    )
-    Nt = int(Nt_a)
+        nz_docs = int(jnp.sum(occ))
+        original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
+
+        cap = max_head_rows(nz_docs)
+        if cap < 8:
+            raise ValueError(
+                f"nz_docs={nz_docs} exceeds the int32 flat-scatter head "
+                f"capacity (max_head_rows={cap}); disable the dense head "
+                "(dense_head_bytes=0) or shard the docs axis"
+            )
+        num_head = int(
+            min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)), cap)
+        )
+        ndp = jnp.concatenate(
+            [new_doc, jnp.full((1,), nz_docs, jnp.int32)]
+        )
+        (head_words, head, head_nnz,
+         pos_d, Nt_a, off_d, pos_w, Nw_a, off_w,
+         tail_nnz) = _select_build_plan(
+            A.d_word, A.d_doc, A.w_word, A.w_val, A.w_doc, zetas, sel_p,
+            keep_d, ndp, V, D, num_head, nz_docs,
+        )
+        Nt = int(Nt_a)
     Nw = int(Nw_a)
     Nt_pad = max(((Nt + chunk - 1) // chunk) * chunk, chunk)
     Nw_pad = max(((Nw + chunk - 1) // chunk) * chunk, chunk)

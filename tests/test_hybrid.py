@@ -144,7 +144,9 @@ def test_fused_builder_matches_unfused():
     B_ref, oc_ref = threshold_and_copy(sp, zetas, chunk=512)
     h_ref = to_hybrid(B_ref, 12, chunk=512, row_scale=jnp.sqrt(zetas))
     # budget chosen so the fused builder picks the same 12 head rows
-    budget = 12 * 2 * B_ref.num_docs
+    # (the no-sampling fused path budgets num_head from A.num_docs, the
+    # pre-threshold doc count — see hybrid_from_thresholds)
+    budget = 12 * 2 * D
     h, oc, frob = hybrid_from_thresholds(sp, zetas, budget, chunk=512)
     np.testing.assert_array_equal(oc, oc_ref)
     assert h.num_head == h_ref.num_head
