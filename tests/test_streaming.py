@@ -215,3 +215,45 @@ def test_streamed_resume(tmp_path):
     st3._t._post_ingest()
     st3.train(resume=True)
     np.testing.assert_allclose(st3._t.model, st._t.model, rtol=1e-6)
+
+
+def test_chunk_loader_nibble_exceptions():
+    """The streamed compact loader's nibble-packed count path must
+    restore counts >= 15 exactly via the per-chunk exception list, and
+    fall back to wider count dtypes when big counts dominate. Rebuilt
+    (w, v, d) must match the fat upload bit-for-bit on the IEEE CPU
+    backend (values are avg * count / doc_sum in f32 both ways)."""
+    import dataclasses
+
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.streaming import doc_chunks, make_chunk_loader
+
+    rng = np.random.default_rng(5)
+    V, D, nnz = 40, 120, 900
+    d = np.sort(rng.integers(0, D, nnz))
+    w = rng.integers(0, V, nnz)
+    key = np.unique(d.astype(np.int64) * V + w)
+    d, w = (key // V).astype(np.int64), (key % V).astype(np.int64)
+    cnt = rng.integers(1, 8, len(key)).astype(np.int64)
+    # ~1% big counts: nibble stays on, exceptions exercised
+    big = rng.choice(len(key), max(len(key) // 100, 3), replace=False)
+    cnt[big] = rng.integers(15, 300, len(big))
+    corpus = Corpus.from_entries(d, w, cnt, vocab_size=V, num_docs=D)
+
+    fat = make_chunk_loader(
+        dataclasses.replace(corpus, counts=None), 128
+    )
+    compact = make_chunk_loader(corpus, 128)
+    for lo, hi in doc_chunks(corpus, 128):
+        for a, b in zip(fat(lo, hi), compact(lo, hi)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # >2% big counts: nibble disabled, u16 dtype path, same equality
+    cnt2 = cnt.copy()
+    cnt2[: len(cnt2) // 4] = 77
+    corpus2 = Corpus.from_entries(d, w, cnt2, vocab_size=V, num_docs=D)
+    fat2 = make_chunk_loader(dataclasses.replace(corpus2, counts=None), 128)
+    compact2 = make_chunk_loader(corpus2, 128)
+    for lo, hi in doc_chunks(corpus2, 128):
+        for a, b in zip(fat2(lo, hi), compact2(lo, hi)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
