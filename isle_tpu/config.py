@@ -146,6 +146,14 @@ class TpuConfig:
     profile_dir: str = ""
     # Matmul precision for parity-critical products (Gram matrices, QR).
     precise_matmul: str = "highest"
+    # Streamed (out-of-core) mode: HBM budget for keeping a compact
+    # device-RESIDENT copy of the corpus (word ids int32 + counts in the
+    # smallest dtype, ~5 B/entry — 3.9 GB at the PubMed shape) so the
+    # host->device wire is paid ONCE instead of once per pass (each
+    # PubMed pass costs 130-290 s over this environment's ~15-37 MB/s
+    # tunnel). 0 disables; oversized corpora fall back to per-pass
+    # streaming automatically.
+    resident_corpus_bytes: int = 6 << 30
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,6 +20,15 @@ Every stage that touches A becomes an additive or filtering pass:
 Floating-point accumulation order within each doc matches the in-core
 kernels (chunks are doc-aligned); cross-stage results agree to fp32
 round-off, which the streamed-vs-incore equality test pins down.
+
+The dual-sorted MATERIALIZED arrays exceed HBM at PubMed scale (24
+B/entry ~ 18 GB), but a COMPACT resident form (word ids int32 + counts
+in the smallest dtype ~ 5 B/entry = 3.9 GB) does not — so by default the
+corpus uploads ONCE into HBM-resident slabs (ResidentLoader) and every
+pass decodes chunks on device, paying the host->device wire a single
+time instead of once per pass (each PubMed pass costs 130-290 s over
+this environment's tunnel). Per-pass wire streaming remains the
+automatic fallback for corpora beyond `tpu.resident_corpus_bytes`.
 """
 
 from __future__ import annotations
@@ -77,24 +86,10 @@ def _rebuild_chunk(
     return w, v, d
 
 
-def make_chunk_loader(corpus: Corpus, chunk_entries: int):
-    """Shared streamed-chunk loader: load(lo, hi) -> (w, v, d) device
-    arrays padded to chunk_entries.
-
-    The tunnel to the chip is the streamed pipeline's bottleneck
-    (~17 MB/s), so the upload is words:int32 + raw counts in the smallest
-    dtype + per-chunk int32 offsets (~5 B/entry instead of the 12 B/entry
-    of materialized w/v/d) with doc ids and normalized values rebuilt on
-    device. Falls back to the fat upload when raw counts are unavailable.
-
-    Rounding note: the verification below compares HOST arithmetic; if the
-    accelerator's f32 divide is not correctly rounded, device-rebuilt
-    values could differ from `corpus.vals` by 1 ulp. That cannot break the
-    streamed-vs-in-core invariant — the in-core path's compact upload
-    (sparse._device_build) rebuilds values on device with the SAME
-    expression, so both paths see identical numbers on any one backend —
-    but host-side oracles compare exactly only on IEEE backends (the CPU
-    test backend is)."""
+def _fat_chunk_loader(corpus: Corpus, chunk_entries: int):
+    """Materialized (w, v, d) per-chunk upload — the fallback when the
+    compact count encoding is unusable (no raw counts, fractional counts,
+    or custom normalization)."""
     D, V = corpus.num_docs, corpus.vocab_size
     n_pad = chunk_entries
 
@@ -110,15 +105,76 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
         ))
         return w, v, d
 
+    return load_fat
+
+
+class _CompactPlan:
+    """Host-side encoding plan for the compact chunk wire (u16 word
+    deltas + nibble-or-small-dtype counts + per-chunk offsets); shared by
+    the per-pass loader and the device-resident fill."""
+
+    def __init__(self, corpus: Corpus, chunk_entries: int, cdtype, nibble,
+                 avg, max_docs):
+        self.corpus = corpus
+        self.n_pad = chunk_entries
+        self.cdtype = cdtype
+        self.nibble = nibble
+        self.avg = avg
+        self.max_docs = max_docs
+
+    def encode(self, lo: int, hi: int):
+        from .sparse import _pad_exceptions, encode_word_deltas
+
+        corpus, n_pad = self.corpus, self.n_pad
+        a, b = corpus.offsets[lo], corpus.offsets[hi]
+        cnt = int(b - a)
+        d16, exc_i, exc_v = encode_word_deltas(corpus.rows, corpus.offsets,
+                                               lo, hi)
+        # floor the padded exception capacity so chunks share one jit
+        # specialization (the capacity is a static shape)
+        exc_i, exc_v = _pad_exceptions(exc_i, exc_v, n_pad,
+                                       min_cap=1 << 16)
+        craw = corpus.counts[a:b]
+        if self.nibble:
+            cn = np.pad(np.minimum(craw, 15).astype(np.uint8),
+                        (0, n_pad - cnt))
+            c = jnp.asarray((cn[0::2] | (cn[1::2] << 4)).astype(np.uint8))
+            bidx = np.flatnonzero(craw >= 15)
+            cexc_i, cexc_v = _pad_exceptions(
+                bidx.astype(np.int64), craw[bidx].astype(np.int32),
+                n_pad, min_cap=1 << 16,
+            )
+        else:
+            c = jnp.asarray(np.pad(craw.astype(self.cdtype),
+                                   (0, n_pad - cnt)))
+            cexc_i, cexc_v = _pad_exceptions(
+                np.zeros(0, np.int64), np.zeros(0, np.int32), n_pad
+            )
+        off = jnp.asarray(np.pad(
+            (corpus.offsets[lo:hi + 1] - a).astype(np.int32),
+            (0, self.max_docs - (hi - lo)), constant_values=cnt,
+        ))
+        return (
+            jnp.asarray(np.pad(d16, (0, n_pad - cnt))),
+            jnp.asarray(exc_i), jnp.asarray(exc_v),
+            c, jnp.asarray(cexc_i), jnp.asarray(cexc_v),
+            off, cnt, int(a),
+        )
+
+
+def _compact_plan(corpus: Corpus, chunk_entries: int):
+    """Returns a _CompactPlan, or None when the compact count encoding is
+    unusable (no raw counts, fractional counts, or custom normalization —
+    the caller must fall back to materialized uploads)."""
     if corpus.counts is None:
-        return load_fat
+        return None
     # The compact upload casts counts to a small integer dtype; fractional
     # counts (Corpus accepts float counts) would be silently truncated, so
     # require integrality globally.
     if corpus.nnz and not bool(
         np.all(corpus.counts == np.floor(corpus.counts))
     ):
-        return load_fat
+        return None
 
     cmax = float(corpus.counts.max()) if corpus.nnz else 0.0
     cdtype = (
@@ -140,10 +196,10 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
     if corpus.nnz and not corpus.vals_match(
         lambda c, ds: avg * (c.astype(rebuild_dtype).astype(np.float32) / ds)
     ):
-        return load_fat
-    doc_sums = jnp.asarray(corpus.doc_sums())  # one (D,) upload, reused
+        return None
     # static padded per-chunk doc capacity (offsets pad with the entry
     # count, which lands the extra markers at the pad boundary)
+    D = corpus.num_docs
     max_docs = 1
     lo = 0
     while lo < D:
@@ -153,46 +209,223 @@ def make_chunk_loader(corpus: Corpus, chunk_entries: int):
         hi = max(min(hi, D), lo + 1)
         max_docs = max(max_docs, hi - lo)
         lo = hi
+    return _CompactPlan(corpus, chunk_entries, cdtype, nibble, avg, max_docs)
 
-    from .sparse import _pad_exceptions, encode_word_deltas
+
+def make_chunk_loader(corpus: Corpus, chunk_entries: int, plan="auto"):
+    """Shared streamed-chunk loader: load(lo, hi) -> (w, v, d) device
+    arrays padded to chunk_entries.
+
+    The tunnel to the chip is the streamed pipeline's bottleneck
+    (~17 MB/s), so the upload is u16 word deltas + raw counts in the
+    smallest dtype (nibble-packed when small counts dominate) + per-chunk
+    int32 offsets (~3 B/entry instead of the 12 B/entry of materialized
+    w/v/d) with doc ids and normalized values rebuilt on device. Falls
+    back to the fat upload when raw counts are unavailable.
+
+    Rounding note: the compact path's value rebuild compares HOST
+    arithmetic during plan validation; if the accelerator's f32 divide is
+    not correctly rounded, device-rebuilt values could differ from
+    `corpus.vals` by 1 ulp. That cannot break the streamed-vs-in-core
+    invariant — the in-core path's compact upload (sparse._device_build)
+    rebuilds values on device with the SAME expression, so both paths see
+    identical numbers on any one backend — but host-side oracles compare
+    exactly only on IEEE backends (the CPU test backend is)."""
+    if plan == "auto":
+        plan = _compact_plan(corpus, chunk_entries)
+    if plan is None:
+        return _fat_chunk_loader(corpus, chunk_entries)
+    D, V = corpus.num_docs, corpus.vocab_size
+    doc_sums = jnp.asarray(corpus.doc_sums())  # one (D,) upload, reused
 
     def load(lo, hi):
-        a, b = corpus.offsets[lo], corpus.offsets[hi]
-        cnt = int(b - a)
-        d16, exc_i, exc_v = encode_word_deltas(corpus.rows, corpus.offsets,
-                                               lo, hi)
-        # floor the padded exception capacity so chunks share one jit
-        # specialization (the capacity is a static shape)
-        exc_i, exc_v = _pad_exceptions(exc_i, exc_v, n_pad,
-                                       min_cap=1 << 16)
-        craw = corpus.counts[a:b]
-        if nibble:
-            cn = np.pad(np.minimum(craw, 15).astype(np.uint8),
-                        (0, n_pad - cnt))
-            c = jnp.asarray((cn[0::2] | (cn[1::2] << 4)).astype(np.uint8))
-            bidx = np.flatnonzero(craw >= 15)
-            cexc_i, cexc_v = _pad_exceptions(
-                bidx.astype(np.int64), craw[bidx].astype(np.int32),
-                n_pad, min_cap=1 << 16,
-            )
-        else:
-            c = jnp.asarray(np.pad(craw.astype(cdtype), (0, n_pad - cnt)))
-            cexc_i, cexc_v = _pad_exceptions(
-                np.zeros(0, np.int64), np.zeros(0, np.int32), n_pad
-            )
-        off = jnp.asarray(np.pad(
-            (corpus.offsets[lo:hi + 1] - a).astype(np.int32),
-            (0, max_docs - (hi - lo)), constant_values=cnt,
-        ))
+        (d16, exc_i, exc_v, c, cexc_i, cexc_v, off, cnt, _a) = plan.encode(
+            lo, hi
+        )
         return _rebuild_chunk(
-            jnp.asarray(np.pad(d16, (0, n_pad - cnt))),
-            jnp.asarray(exc_i), jnp.asarray(exc_v),
-            c, jnp.asarray(cexc_i), jnp.asarray(cexc_v),
-            off, jnp.int32(cnt), jnp.int32(lo), doc_sums, avg,
-            V, D, n_pad, max_docs + 1, nibble,
+            d16, exc_i, exc_v, c, cexc_i, cexc_v,
+            off, jnp.int32(cnt), jnp.int32(lo), doc_sums, plan.avg,
+            V, D, chunk_entries, plan.max_docs + 1, plan.nibble,
         )
 
     return load
+
+
+@partial(jax.jit, static_argnames=("vocab", "n_pad", "max_docs", "nibble"),
+         donate_argnums=(0, 1))
+def _store_chunk(w_res, c_res, d16, exc_i, exc_v, counts, cexc_i, cexc_v,
+                 local_offsets, cnt, a,
+                 vocab: int, n_pad: int, max_docs: int, nibble: bool):
+    """Resident fill: decode one compact wire chunk's word ids and raw
+    counts and write them into the HBM-resident slabs. The slabs are
+    DONATED so the update is in place — without donation XLA would copy
+    the multi-GB slab once per chunk."""
+    from .sparse import decode_word_deltas
+
+    marks = jnp.zeros((n_pad,), jnp.int32).at[local_offsets[1:]].add(
+        1, mode="drop"
+    )
+    dl = jnp.minimum(jnp.cumsum(marks), max_docs - 1)
+    in_range = jnp.arange(n_pad, dtype=jnp.int32) < cnt
+    w = decode_word_deltas(d16, exc_i, exc_v, None, in_range, vocab,
+                           doc_of_entry=dl, offsets=local_offsets)
+    if nibble:
+        lo_n = (counts & 15).astype(c_res.dtype)
+        hi_n = (counts >> 4).astype(c_res.dtype)
+        c = jnp.stack([lo_n, hi_n], axis=1).reshape(n_pad)
+        c = c.at[cexc_i].set(cexc_v.astype(c_res.dtype), mode="drop")
+    else:
+        c = counts.astype(c_res.dtype)
+    w_res = jax.lax.dynamic_update_slice(w_res, w, (a,))
+    c_res = jax.lax.dynamic_update_slice(c_res, c, (a,))
+    return w_res, c_res
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _store_chunk_vals(w_res, v_res, w, v, a):
+    return (
+        jax.lax.dynamic_update_slice(w_res, w, (a,)),
+        jax.lax.dynamic_update_slice(v_res, v, (a,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("vocab", "num_docs", "chunk", "mdoc",
+                                   "counts_form"))
+def _resident_load(w_res, cv_res, offsets_pad, doc_sums, avg, a, lo, cnt,
+                   vocab: int, num_docs: int, chunk: int, mdoc: int,
+                   counts_form: bool):
+    """Decode one chunk from the resident slabs: doc ids from the offsets
+    window (the +1-marker cumsum, as _rebuild_chunk), values either
+    recomputed as avg * (count / doc_sum) in f32 (counts form — the same
+    expression, in the same order, as the wire loaders) or read verbatim
+    (vals form). One compiled program serves every chunk of every pass
+    (chunk params are operands, shapes static)."""
+    w = jax.lax.dynamic_slice(w_res, (a,), (chunk,))
+    cv = jax.lax.dynamic_slice(cv_res, (a,), (chunk,))
+    loff = jax.lax.dynamic_slice(offsets_pad, (lo,), (mdoc,)) - a
+    marks = jnp.zeros((chunk,), jnp.int32).at[loff[1:]].add(1, mode="drop")
+    dl = jnp.cumsum(marks)
+    in_range = jnp.arange(chunk, dtype=jnp.int32) < cnt
+    d = jnp.where(in_range, jnp.minimum(lo + dl, num_docs), num_docs)
+    w = jnp.where(in_range, w, vocab)
+    if counts_form:
+        ds = jnp.concatenate([doc_sums, jnp.ones((1,), jnp.float32)])
+        v = jnp.where(w < vocab, avg * (cv.astype(jnp.float32) / ds[d]), 0.0)
+    else:
+        v = jnp.where(in_range, cv, 0.0)
+    return w, v, d
+
+
+class ResidentLoader:
+    """Device-RESIDENT compact corpus for the streamed pipeline.
+
+    The per-pass loaders re-pay the host->device wire for every pass
+    (6 passes x 130-290 s at the PubMed shape over this environment's
+    tunnel). This loader uploads the corpus ONCE into HBM-resident slabs
+    and decodes chunks on device for every later pass:
+
+      - counts form (~5 B/entry; 3.9 GB at PubMed): word ids int32 +
+        raw counts in the smallest dtype; values recompute
+        avg * (count / doc_sum) per load — bitwise the per-pass compact
+        loader's expression.
+      - vals form (8 B/entry): word ids int32 + f32 values verbatim,
+        when raw counts are unusable (custom normalization etc.).
+
+    Doc ids always derive from the resident (D+1) offsets table. The
+    fill is lazy (checkpoint resumes that skip every corpus pass never
+    pay the upload). Returns per-chunk (w, v, d) exactly like
+    make_chunk_loader — drop-in for every streamed stage."""
+
+    def __init__(self, corpus: Corpus, chunk_entries: int, plan="auto"):
+        self.corpus = corpus
+        self.chunk = chunk_entries
+        self._plan = (_compact_plan(corpus, chunk_entries)
+                      if plan == "auto" else plan)
+        self._filled = False
+
+    @staticmethod
+    def resident_bytes(corpus: Corpus, chunk_entries: int, plan) -> int:
+        csize = np.dtype(plan.cdtype).itemsize if plan is not None else 4
+        slab = int(corpus.nnz) + chunk_entries
+        return slab * (4 + csize) + 8 * (corpus.num_docs + 8)
+
+    def _max_docs(self) -> int:
+        if self._plan is not None:
+            return self._plan.max_docs
+        m = 1
+        for lo, hi in doc_chunks(self.corpus, self.chunk):
+            m = max(m, hi - lo)
+        return m
+
+    def _ensure(self):
+        if self._filled:
+            return
+        corpus, chunk = self.corpus, self.chunk
+        D, V = corpus.num_docs, corpus.vocab_size
+        total = int(corpus.offsets[D]) + chunk  # slack: final store window
+        self._mdoc = self._max_docs() + 1
+        off = np.full(D + self._mdoc + 1, corpus.offsets[D], np.int64)
+        off[: D + 1] = corpus.offsets
+        self._off = jnp.asarray(off.astype(np.int32))
+        self._counts_form = self._plan is not None
+        if self._counts_form:
+            plan = self._plan
+            self._ds = jnp.asarray(corpus.doc_sums())
+            self._avg = plan.avg
+            w_res = jnp.full((total,), V, jnp.int32)
+            c_res = jnp.zeros((total,), plan.cdtype)
+            for lo, hi in doc_chunks(corpus, chunk):
+                (d16, exc_i, exc_v, c, cexc_i, cexc_v, loff, cnt,
+                 a) = plan.encode(lo, hi)
+                w_res, c_res = _store_chunk(
+                    w_res, c_res, d16, exc_i, exc_v, c, cexc_i, cexc_v,
+                    loff, jnp.int32(cnt), jnp.int32(a),
+                    V, chunk, plan.max_docs + 1, plan.nibble,
+                )
+            self._w, self._cv = w_res, c_res
+        else:
+            self._ds = jnp.zeros((D,), jnp.float32)  # unused operand
+            self._avg = np.float32(0.0)
+            w_res = jnp.full((total,), V, jnp.int32)
+            v_res = jnp.zeros((total,), jnp.float32)
+            for lo, hi in doc_chunks(corpus, chunk):
+                a, b = corpus.offsets[lo], corpus.offsets[hi]
+                w = jnp.asarray(np.pad(
+                    corpus.rows[a:b].astype(np.int32),
+                    (0, chunk - (b - a)), constant_values=V,
+                ))
+                v = jnp.asarray(np.pad(corpus.vals[a:b],
+                                       (0, chunk - (b - a))))
+                w_res, v_res = _store_chunk_vals(
+                    w_res, v_res, w, v, jnp.int32(int(a))
+                )
+            self._w, self._cv = w_res, v_res
+        self._filled = True
+
+    def __call__(self, lo: int, hi: int):
+        self._ensure()
+        a = int(self.corpus.offsets[lo])
+        cnt = int(self.corpus.offsets[hi]) - a
+        return _resident_load(
+            self._w, self._cv, self._off, self._ds, self._avg,
+            jnp.int32(a), jnp.int32(lo), jnp.int32(cnt),
+            self.corpus.vocab_size, self.corpus.num_docs,
+            self.chunk, self._mdoc, self._counts_form,
+        )
+
+
+def get_corpus_loader(corpus: Corpus, chunk_entries: int,
+                      resident_bytes: int = 0):
+    """Pick the streamed-chunk loader: device-resident when the compact
+    corpus fits `resident_bytes` of HBM (the wire is then paid once for
+    the whole run), per-pass wire streaming otherwise."""
+    if not (resident_bytes and corpus.nnz):
+        return make_chunk_loader(corpus, chunk_entries)
+    plan = _compact_plan(corpus, chunk_entries)
+    if ResidentLoader.resident_bytes(corpus, chunk_entries,
+                                     plan) > resident_bytes:
+        return make_chunk_loader(corpus, chunk_entries, plan=plan)
+    return ResidentLoader(corpus, chunk_entries, plan=plan)
 
 
 def doc_chunks(corpus: Corpus, target_entries: int) -> Iterator[Tuple[int, int]]:
@@ -243,14 +476,16 @@ def _hist_accum(hist_banked, words, vals, F: int):
 
 
 def streamed_thresholds(
-    corpus: Corpus, num_topics: int, hyper, chunk_entries: int = 1 << 25
+    corpus: Corpus, num_topics: int, hyper, chunk_entries: int = 1 << 25,
+    loader=None,
 ) -> Tuple[jax.Array, int]:
     """Stage 1: zeta cutoffs without materializing A on device."""
     V = corpus.vocab_size
     F = freq_bound(corpus.avg_doc_sz)
     nbanks = (F + 1 + 127) // 128
     hist = jnp.zeros(((V + 1) * nbanks, 128), jnp.float32)
-    load = make_chunk_loader(corpus, chunk_entries)
+    load = loader if loader is not None else make_chunk_loader(
+        corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
         w, v, _ = load(lo, hi)
         hist = _hist_accum(hist, w, v, F)
@@ -276,13 +511,15 @@ def _weight_accum(weights, words, vals, docs, zetas, num_docs: int):
 
 
 def streamed_doc_weights(
-    corpus: Corpus, zetas: jax.Array, chunk_entries: int = 1 << 25
+    corpus: Corpus, zetas: jax.Array, chunk_entries: int = 1 << 25,
+    loader=None,
 ) -> jax.Array:
     """Stage 2 input: per-doc importance weights (sum of passing zetas,
     src/sparseMatrix.cpp:1383-1397)."""
     D, V = corpus.num_docs, corpus.vocab_size
     weights = jnp.zeros((D + 1,), jnp.float32)
-    load = make_chunk_loader(corpus, chunk_entries)
+    load = loader if loader is not None else make_chunk_loader(
+        corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
         w, v, d = load(lo, hi)
         weights = _weight_accum(weights, w, v, d, zetas, D)
@@ -304,6 +541,7 @@ def streamed_build_b(
     select_docs: Optional[jax.Array],
     spmm_chunk: int,
     chunk_entries: int = 1 << 25,
+    loader=None,
 ) -> Tuple[DocSparse, np.ndarray]:
     """Stage 3: B (thresholded, sqrt-zeta, doc-renumbered, dual-sorted)
     assembled on device from streamed chunks."""
@@ -317,7 +555,8 @@ def streamed_build_b(
     )
     parts_w, parts_v, parts_d = [], [], []
     total = 0
-    load = make_chunk_loader(corpus, chunk_entries)
+    load = loader if loader is not None else make_chunk_loader(
+        corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
         n_pad = chunk_entries
         w, v, d = load(lo, hi)
@@ -363,6 +602,7 @@ def streamed_filter_clustered(
     cluster_of_doc: np.ndarray,
     spmm_chunk: int,
     chunk_entries: int = 1 << 25,
+    loader=None,
 ) -> DocSparse:
     """Stage 4 input: the sub-matrix of A restricted to clustered docs
     (global doc ids preserved), as a device DocSparse for rth_highest and
@@ -373,7 +613,8 @@ def streamed_filter_clustered(
     )
     parts = []
     total = 0
-    load = make_chunk_loader(corpus, chunk_entries)
+    load = loader if loader is not None else make_chunk_loader(
+        corpus, chunk_entries)
     for lo, hi in doc_chunks(corpus, chunk_entries):
         n_pad = chunk_entries
         w, v, d = load(lo, hi)
@@ -448,6 +689,7 @@ def streamed_topic_model(
     rank_threshold: int,
     want_top_pairs: bool,
     chunk_entries: int = 1 << 25,
+    loader=None,
 ):
     """Stages 5-6: catchword mass + model accumulation over streamed A.
     Semantics identical to topic_model.construct_topic_model."""
@@ -461,7 +703,8 @@ def streamed_topic_model(
     )
     mass = jnp.zeros(((D + 1) * k,), jnp.float32)
     chunks = list(doc_chunks(corpus, chunk_entries))
-    load = make_chunk_loader(corpus, chunk_entries)
+    load = loader if loader is not None else make_chunk_loader(
+        corpus, chunk_entries)
 
     for lo, hi in chunks:
         w, v, d = load(lo, hi)
@@ -532,6 +775,13 @@ class StreamedTrainer:
             return
         resume_kmeans = "kmeans" in ck
         resume_svd = "svd" in ck
+        # One loader shared by every corpus pass: device-resident when it
+        # fits the HBM budget (upload paid once), per-pass wire otherwise.
+        # Lazy fill: resumed runs that skip all passes never pay it.
+        loader = get_corpus_loader(
+            corpus, ce, cfg.tpu.resident_corpus_bytes
+        )
+        self._loader = loader
 
         if resume_svd:
             zetas = jnp.asarray(ck["svd"]["zetas"])
@@ -539,7 +789,8 @@ class StreamedTrainer:
             t.original_cols = original_cols
             t.logger.info("resumed thresholds from 'svd' checkpoint")
         else:
-            zetas, new_nnz = streamed_thresholds(corpus, k, hp, ce)
+            zetas, new_nnz = streamed_thresholds(corpus, k, hp, ce,
+                                                 loader=loader)
             t.logger.info(f"Entries above threshold: {new_nnz}")
             t.timer.next("streamed thresholds")
 
@@ -552,7 +803,8 @@ class StreamedTrainer:
             assign_h = cluster_of_doc[cluster_of_doc >= 0]
             sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
             t.logger.info("resumed clustering from 'kmeans' checkpoint")
-            self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce)
+            self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce,
+                         loader)
             return
 
         select = None
@@ -567,7 +819,8 @@ class StreamedTrainer:
                     jnp.asarray(original_cols)
                 ].set(True)
             else:
-                weights = streamed_doc_weights(corpus, zetas, ce)
+                weights = streamed_doc_weights(corpus, zetas, ce,
+                                               loader=loader)
                 key, sub = jax.random.split(key)
                 u = jax.random.uniform(sub, (D,), jnp.float32)
                 dice = jnp.where(
@@ -581,7 +834,7 @@ class StreamedTrainer:
 
         key, sub = jax.random.split(key)  # keep key schedule aligned
         B, original_cols = streamed_build_b(
-            corpus, zetas, select, cfg.tpu.spmm_chunk, ce
+            corpus, zetas, select, cfg.tpu.spmm_chunk, ce, loader=loader
         )
         t.original_cols = original_cols
         t.logger.info(
@@ -662,9 +915,11 @@ class StreamedTrainer:
         # final stages need ~8-9 GB of (D, k) working set — holding both
         # ran HBM out (observed on the 787M-nnz run).
         del B, P, U, centers_lowd, centers_full, assign
-        self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce)
+        self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce,
+                     loader)
 
-    def _finish(self, corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce):
+    def _finish(self, corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce,
+                loader=None):
         from .catchwords import catchword_topic_map, find_catchwords, rth_highest
 
         t = self._t
@@ -673,7 +928,7 @@ class StreamedTrainer:
         )
         r = max(r, 1)
         A_sub = streamed_filter_clustered(
-            corpus, cluster_of_doc, cfg.tpu.spmm_chunk, ce
+            corpus, cluster_of_doc, cfg.tpu.spmm_chunk, ce, loader=loader
         )
         thr = rth_highest(
             A_sub, jnp.asarray(cluster_of_doc), jnp.asarray(sizes), k, r
@@ -690,6 +945,7 @@ class StreamedTrainer:
             hp.model_rank_threshold(D, k),
             want_top_pairs=cfg.compute_edge_topics,
             chunk_entries=ce,
+            loader=loader,
         )
         t.model = np.asarray(model)
         extra = {}

@@ -257,3 +257,58 @@ def test_chunk_loader_nibble_exceptions():
     for lo, hi in doc_chunks(corpus2, 128):
         for a, b in zip(fat2(lo, hi), compact2(lo, hi)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resident_loader_matches_wire_loaders():
+    """The device-resident loader must return chunk-identical (w, v, d)
+    to the per-pass loaders in both storage forms, and get_corpus_loader
+    must fall back to per-pass streaming when over budget."""
+    import dataclasses
+
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.streaming import (
+        ResidentLoader,
+        doc_chunks,
+        get_corpus_loader,
+        make_chunk_loader,
+    )
+
+    rng = np.random.default_rng(17)
+    V, D = 50, 140
+    d = np.sort(rng.integers(0, D, 1100))
+    w = rng.integers(0, V, len(d))
+    key = np.unique(d.astype(np.int64) * V + w)
+    d, w = (key // V).astype(np.int64), (key % V).astype(np.int64)
+    cnt = rng.integers(1, 8, len(key)).astype(np.int64)
+    big = rng.choice(len(key), 5, replace=False)
+    cnt[big] = rng.integers(15, 70000, 5)  # u16 dtype + nibble exceptions
+    corpus = Corpus.from_entries(d, w, cnt, vocab_size=V, num_docs=D)
+
+    # counts form vs compact wire loader
+    res = get_corpus_loader(corpus, 128, resident_bytes=1 << 30)
+    assert isinstance(res, ResidentLoader)
+    wire = make_chunk_loader(corpus, 128)
+    for lo, hi in doc_chunks(corpus, 128):
+        for a, b in zip(wire(lo, hi), res(lo, hi)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # vals form (custom normalization disables the counts encoding)
+    corpus2 = dataclasses.replace(
+        corpus,
+        vals=(corpus.counts.astype(np.float32)
+              / np.repeat(corpus.doc_sums(), np.diff(corpus.offsets))
+              ).astype(np.float32),
+    )
+    res2 = ResidentLoader(corpus2, 128)
+    fat2 = make_chunk_loader(corpus2, 128)
+    assert res2._plan is None
+    for lo, hi in doc_chunks(corpus2, 128):
+        for a, b in zip(fat2(lo, hi), res2(lo, hi)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # over budget -> per-pass loader
+    small = get_corpus_loader(corpus, 128, resident_bytes=16)
+    assert not isinstance(small, ResidentLoader)
+    # budget 0 -> per-pass loader without even computing the plan
+    off = get_corpus_loader(corpus, 128, resident_bytes=0)
+    assert not isinstance(off, ResidentLoader)
