@@ -360,6 +360,9 @@ class ResidentLoader:
     def _ensure(self):
         if self._filled:
             return
+        import time as _time
+
+        t0 = _time.perf_counter()
         corpus, chunk = self.corpus, self.chunk
         D, V = corpus.num_docs, corpus.vocab_size
         total = int(corpus.offsets[D]) + chunk  # slack: final store window
@@ -401,6 +404,23 @@ class ResidentLoader:
                 )
             self._w, self._cv = w_res, v_res
         self._filled = True
+        # dispatch is async; this is encode+dispatch time, wire drains
+        # into the first consuming pass
+        self.fill_seconds = getattr(self, "fill_seconds", 0.0) + (
+            _time.perf_counter() - t0
+        )
+        self.fill_count = getattr(self, "fill_count", 0) + 1
+
+    def release(self):
+        """Free the resident slabs (multi-GB of HBM). The next load
+        refills lazily — callers drop the corpus before HBM-hungry
+        stages that never touch A (hybrid build / eigensolve / k-means;
+        at PubMed the slabs + dense head + B otherwise exceed the chip:
+        observed RESOURCE_EXHAUSTED) and pay the wire a second time for
+        the finish passes. Two fills still beat six per-pass uploads."""
+        if self._filled:
+            del self._w, self._cv, self._off, self._ds
+            self._filled = False
 
     def __call__(self, lo: int, hi: int):
         self._ensure()
@@ -841,6 +861,11 @@ class StreamedTrainer:
             f"Columns remaining after thresholding: {B.num_docs} nnz(B): {B.nnz}"
         )
         t.timer.next("streamed B construction")
+        # A is not touched again until the finish passes; free the
+        # resident slabs so the hybrid head + eigensolver/k-means state
+        # fit HBM at PubMed scale (the finish passes refill lazily).
+        if hasattr(loader, "release"):
+            loader.release()
 
         if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
             from .hybrid import max_head_rows
