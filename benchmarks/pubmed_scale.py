@@ -125,6 +125,13 @@ def main():
     for label, wall, cpu in tr.timer.phases:
         print(f"#   phase {label}: {wall:.2f}s", flush=True)
     print(f"# train_s: {train_s:.1f}", flush=True)
+    loader = getattr(tr, "_loader", None)
+    if loader is not None and hasattr(loader, "fill_seconds"):
+        print(
+            f"# resident corpus: {loader.fill_count} fill(s), "
+            f"{loader.fill_seconds:.1f}s encode+dispatch total",
+            flush=True,
+        )
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats:

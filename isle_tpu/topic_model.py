@@ -104,11 +104,15 @@ def model_thresholds(mass: jax.Array, has_catchwords: jax.Array, rank_threshold:
         # Large D (PubMed: 8.2M docs): an axis-0 sort of (D, k) pads every
         # column to the sort's power-of-two scratch at once and exhausts
         # HBM; select the rank statistic one topic at a time instead.
-        def col_thr(col):
+        # Map over column INDICES — mapping over mass.T materializes a
+        # transposed (k, D) copy (3.3 GB at PubMed; observed OOM).
+        def col_thr(i):
+            col = jax.lax.dynamic_index_in_dim(mass, i, axis=1,
+                                               keepdims=False)
             s = -jnp.sort(-col)
             return s[rank_threshold - 1]
 
-        thr = jax.lax.map(col_thr, mass.T)
+        thr = jax.lax.map(col_thr, jnp.arange(k, dtype=jnp.int32))
         thr = jnp.where(pos_counts >= rank_threshold, thr, 0.0)
     return jnp.where(has_catchwords, thr, 0.0)
 
@@ -130,10 +134,14 @@ def top_two_topics(mass: jax.Array):
     return t1.astype(jnp.int32), t2.astype(jnp.int32), valid
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _contribution_weights(
     mass: jax.Array, thr: jax.Array, cluster_of_doc: jax.Array
 ) -> jax.Array:
+    """`mass` is DONATED (same (D, k) f32 shape as the returned W, so XLA
+    reuses the buffer — at PubMed scale holding both cost 6.6 GB at the
+    peak). Callers must not touch mass afterwards; both call sites
+    compute thr/pairs first."""
     D, k = mass.shape
     W = (mass > thr[None, :]).astype(jnp.float32)
     in_cluster = cluster_of_doc >= 0
