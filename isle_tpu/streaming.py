@@ -45,6 +45,20 @@ from .sparse import DocSparse
 from .thresholds import freq_bound, _zeta_from_hist
 
 
+def _drain_every(acc, i: int, every: int = 4):
+    """Pace an accumulation loop: force a 1-element host readback every
+    `every` chunks. With the device-resident loader there is no upload
+    wire to pace the host, so an unthrottled loop enqueues every chunk's
+    decode ahead of execution — each in-flight chunk holds ~3 x
+    chunk_entries x 4 B of decoded (w, v, d) output, and 24 sprinting
+    chunks exhausted the PubMed allocator (observed RESOURCE_EXHAUSTED).
+    A scalar readback awaits the dependency chain (block_until_ready
+    does NOT await remote execution on the axon tunnel) at ~30 ms per
+    sync — a handful per pass."""
+    if (i + 1) % every == 0:
+        np.asarray(jnp.reshape(acc, (-1,))[:1])
+
+
 @partial(jax.jit, static_argnames=(
     "vocab", "num_docs", "n_pad", "max_docs", "nibble"))
 def _rebuild_chunk(
@@ -506,9 +520,10 @@ def streamed_thresholds(
     hist = jnp.zeros(((V + 1) * nbanks, 128), jnp.float32)
     load = loader if loader is not None else make_chunk_loader(
         corpus, chunk_entries)
-    for lo, hi in doc_chunks(corpus, chunk_entries):
+    for i, (lo, hi) in enumerate(doc_chunks(corpus, chunk_entries)):
         w, v, _ = load(lo, hi)
         hist = _hist_accum(hist, w, v, F)
+        _drain_every(hist, i)
     h = hist.reshape(V + 1, nbanks * 128)[:V, : F + 1].astype(jnp.int32)
     h = h.at[:, 0].set(0)
     zeta, nnz_w = _zeta_from_hist(
@@ -540,9 +555,10 @@ def streamed_doc_weights(
     weights = jnp.zeros((D + 1,), jnp.float32)
     load = loader if loader is not None else make_chunk_loader(
         corpus, chunk_entries)
-    for lo, hi in doc_chunks(corpus, chunk_entries):
+    for i, (lo, hi) in enumerate(doc_chunks(corpus, chunk_entries)):
         w, v, d = load(lo, hi)
         weights = _weight_accum(weights, w, v, d, zetas, D)
+        _drain_every(weights, i)
     return weights[:D]
 
 
@@ -726,10 +742,18 @@ def streamed_topic_model(
     load = loader if loader is not None else make_chunk_loader(
         corpus, chunk_entries)
 
-    for lo, hi in chunks:
+    for i, (lo, hi) in enumerate(chunks):
         w, v, d = load(lo, hi)
         mass = _mass_accum(mass, w, v, d, cwt, k, D)
-    mass = mass.reshape(D + 1, k)[:D]
+        _drain_every(mass, i)
+    # Keep the spill row: mass.reshape(D+1, k)[:D] would MATERIALIZE a
+    # second 3.3 GB copy at PubMed scale (observed OOM). Row D is
+    # all-zero by construction (non-catchword and padded entries scatter
+    # 0.0 there), which every consumer below is transparent to: an extra
+    # zero value never changes the rank_threshold-th largest positive,
+    # cluster -1 gives it a zero W row, and _model_accum's doc gather
+    # reads that zero row for padded entries.
+    mass = mass.reshape(D + 1, k)
 
     has_cw = jax.ops.segment_sum(
         (jnp.asarray(cw_topic) >= 0).astype(jnp.int32),
@@ -737,14 +761,21 @@ def streamed_topic_model(
         num_segments=k,
     ) > 0
     thr = model_thresholds(mass, has_cw, rank_threshold)
-    pairs = top_two_topics(mass) if want_top_pairs else None
-    W = _contribution_weights(mass, thr, jnp.asarray(cluster_of_doc))
-    del mass  # (D, k) f32 — ~3.3 GB at PubMed scale; W replaces it
+    pairs = None
+    if want_top_pairs:
+        t1, t2, valid = top_two_topics(mass)
+        pairs = (t1[:D], t2[:D], valid[:D])
+    cl_pad = jnp.asarray(np.concatenate(
+        [cluster_of_doc.astype(np.int32), [-1]]
+    ))
+    W = _contribution_weights(mass, thr, cl_pad)  # donates mass
+    del mass  # (D+1, k) f32 — ~3.3 GB at PubMed scale; W reuses the buffer
 
     model = jnp.zeros((V + 1, k), jnp.float32)
-    for lo, hi in chunks:
+    for i, (lo, hi) in enumerate(chunks):
         w, v, d = load(lo, hi)
         model = _model_accum(model, w, v, d, W, k)
+        _drain_every(model, i)
     model = model[:V]
     sums = jnp.sum(model, axis=0)
     model = jnp.where(sums[None, :] != 0.0, model / sums[None, :], model)
