@@ -154,6 +154,13 @@ class TpuConfig:
     # tunnel). 0 disables; oversized corpora fall back to per-pass
     # streaming automatically.
     resident_corpus_bytes: int = 6 << 30
+    # Usable HBM for layout planning (v5e: 16 GB minus the runtime's
+    # ~258 MB reserve and headroom). The streamed trainer uses it to
+    # decide whether the resident corpus slabs can stay held across the
+    # hybrid/eigen/k-means middle — skipping the second fill (encode +
+    # full corpus wire, ~150 s at PubMed) — with a correspondingly
+    # smaller dense head (streaming.plan_middle_budget).
+    hbm_bytes: int = 14 << 30
 
 
 @dataclasses.dataclass(frozen=True)

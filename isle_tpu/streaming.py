@@ -427,11 +427,12 @@ class ResidentLoader:
 
     def release(self):
         """Free the resident slabs (multi-GB of HBM). The next load
-        refills lazily — callers drop the corpus before HBM-hungry
-        stages that never touch A (hybrid build / eigensolve / k-means;
-        at PubMed the slabs + dense head + B otherwise exceed the chip:
-        observed RESOURCE_EXHAUSTED) and pay the wire a second time for
-        the finish passes. Two fills still beat six per-pass uploads."""
+        refills lazily. The streamed trainer only releases when the
+        hybrid/eigen/k-means middle cannot fit beside the slabs even
+        with a shrunken dense head (plan_middle_budget) — the refill
+        re-pays the full corpus encode + wire, which at PubMed costs
+        more than the head saves. Two fills still beat six per-pass
+        uploads when a release is unavoidable."""
         if self._filled:
             del self._w, self._cv, self._off, self._ds
             self._filled = False
@@ -446,6 +447,43 @@ class ResidentLoader:
             self.corpus.vocab_size, self.corpus.num_docs,
             self.chunk, self._mdoc, self._counts_form,
         )
+
+
+# Middle-stage HBM planning constants. The hybrid build's peak
+# temporaries at the PubMed shape measured >= ~94 B per nnz(B) alongside
+# the full head (dual-sorted B, pad plans, compacted octet tails,
+# fragmentation): the first resident run OOM'd with slabs 3.9 GB +
+# head 4.3 GB on the 15.75 GB chip (BENCH_NOTES.md round-3 PubMed
+# section). The no-head middle holds only B itself (~24 B/nnz) plus the
+# eigensolver/k-means state.
+_MIDDLE_TEMP_B_PER_NNZ = 96
+_MIDDLE_NOHEAD_B_PER_NNZ = 30
+_MIDDLE_RESERVE = 1 << 30
+_MIN_HEAD_BYTES = 256 << 20
+
+
+def plan_middle_budget(hbm_bytes: int, slab_bytes: int, nnz_b: int,
+                       cfg_head_bytes: int) -> Tuple[bool, int]:
+    """Decide whether the resident corpus slabs stay held across the
+    hybrid/eigen/k-means middle, and with how large a dense head.
+
+    The head saves seconds of SpMM (it moves the Zipf head onto the
+    MXU); releasing the slabs costs a full corpus re-upload for the
+    finish passes (encode + wire, ~150 s at PubMed over this tunnel).
+    So when both cannot fit: first shrink the head into the leftover
+    budget, then drop it entirely, and only release the slabs when even
+    the no-head middle cannot fit. Returns (keep_slabs, head_bytes);
+    head_bytes is the (possibly shrunken) budget to build with when
+    keep_slabs, else the caller's configured budget."""
+    room = (hbm_bytes - slab_bytes - _MIDDLE_TEMP_B_PER_NNZ * nnz_b
+            - _MIDDLE_RESERVE)
+    if cfg_head_bytes > 0 and room >= _MIN_HEAD_BYTES:
+        return True, int(min(cfg_head_bytes, room))
+    room_nohead = (hbm_bytes - slab_bytes
+                   - _MIDDLE_NOHEAD_B_PER_NNZ * nnz_b - _MIDDLE_RESERVE)
+    if room_nohead >= 0:
+        return True, 0
+    return False, cfg_head_bytes
 
 
 def get_corpus_loader(corpus: Corpus, chunk_entries: int,
@@ -892,70 +930,116 @@ class StreamedTrainer:
             f"Columns remaining after thresholding: {B.num_docs} nnz(B): {B.nnz}"
         )
         t.timer.next("streamed B construction")
-        # A is not touched again until the finish passes; free the
-        # resident slabs so the hybrid head + eigensolver/k-means state
-        # fit HBM at PubMed scale (the finish passes refill lazily).
-        if hasattr(loader, "release"):
-            loader.release()
-
-        if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
-            from .hybrid import max_head_rows
-
-            num_head = min(
-                V, cfg.tpu.dense_head_bytes // max(2 * B.num_docs, 1),
-                max_head_rows(B.num_docs),
+        # A is not touched again until the finish passes. Round 2
+        # released the resident slabs here unconditionally so the dense
+        # head + build temporaries fit HBM at PubMed scale — but the
+        # refill for the finish passes re-pays the full corpus encode +
+        # wire (~150 s at PubMed over this tunnel), while the head only
+        # saves seconds of middle-stage SpMM. When both cannot fit,
+        # the slabs win: shrink (or drop) the head into the leftover
+        # budget (plan_middle_budget). RESOURCE_EXHAUSTED during the
+        # middle falls back to the round-2 release-and-retry behavior.
+        slab_held = hasattr(loader, "release")
+        head_bytes = cfg.tpu.dense_head_bytes
+        if slab_held:
+            slab_b = ResidentLoader.resident_bytes(corpus, ce, loader._plan)
+            keep, head_bytes = plan_middle_budget(
+                cfg.tpu.hbm_bytes, slab_b, B.nnz, cfg.tpu.dense_head_bytes
             )
-            if num_head >= 8:
-                B = to_hybrid(
-                    B, int(num_head), chunk=cfg.tpu.spmm_chunk,
-                    row_scale=jnp.sqrt(zetas),
+            if keep:
+                if head_bytes != cfg.tpu.dense_head_bytes:
+                    t.logger.info(
+                        f"holding resident corpus ({slab_b >> 20} MiB) "
+                        f"through the middle; dense head budget "
+                        f"{head_bytes >> 20} MiB"
+                    )
+            else:
+                loader.release()
+                slab_held = False
+                head_bytes = cfg.tpu.dense_head_bytes
+
+        key, sub_eig = jax.random.split(key)
+        key, sub_seed = jax.random.split(key)
+
+        def run_middle(head_budget: int):
+            Bh = B
+            if head_budget > 0 and B.num_docs > 0:
+                from .hybrid import max_head_rows
+
+                num_head = min(
+                    V, head_budget // max(2 * B.num_docs, 1),
+                    max_head_rows(B.num_docs),
                 )
-        t.timer.next("hybrid layout")
+                if num_head >= 8:
+                    Bh = to_hybrid(
+                        B, int(num_head), chunk=cfg.tpu.spmm_chunk,
+                        row_scale=jnp.sqrt(zetas),
+                    )
+            t.timer.next("hybrid layout")
 
-        key, sub = jax.random.split(key)
-        if resume_svd:
-            t.evalues = ck["svd"]["evalues"]
-            U = jnp.asarray(ck["svd"]["U"])
-            t.logger.info("resumed eigenvectors from 'svd' checkpoint")
-        else:
-            # Shared solver dispatch — honors hyper.eigensolver
-            # (block_ks / lanczos / dense) exactly like the in-core mode
-            # instead of hardcoding block_ks.
-            from .trainer import solve_gram_eigens
+            if resume_svd:
+                evalues = ck["svd"]["evalues"]
+                U = jnp.asarray(ck["svd"]["U"])
+                t.logger.info("resumed eigenvectors from 'svd' checkpoint")
+            else:
+                # Shared solver dispatch — honors hyper.eigensolver
+                # (block_ks / lanczos / dense) exactly like the in-core
+                # mode instead of hardcoding block_ks.
+                from .trainer import solve_gram_eigens
 
-            t.evalues, U, _ = solve_gram_eigens(
-                lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
-                V, k, B, cfg, sub, timer=t.timer, logger=t.logger,
-            )
-            t.timer.next("eigen solve (B B^T)")
-            t._checkpoint(
-                "svd", U=np.asarray(U), evalues=t.evalues,
-                zetas=np.asarray(zetas), original_cols=original_cols,
-            )
+                evalues, U, _ = solve_gram_eigens(
+                    lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
+                    V, k, Bh, cfg, sub_eig, timer=t.timer, logger=t.logger,
+                )
+                t.timer.next("eigen solve (B B^T)")
+                t._checkpoint(
+                    "svd", U=np.asarray(U), evalues=evalues,
+                    zetas=np.asarray(zetas), original_cols=original_cols,
+                )
 
-        P = mat_bt_x(B, U, cfg.tpu.spmm_chunk).T
-        key, sub = jax.random.split(key)
-        seeds, centers_lowd, _ = kmeans_init_on_projected(
-            P, k, hp.kmeans_init_reps, sub, method=hp.kmeans_init_method
-        )
-        centers_lowd, _ = run_lloyds_projected(
-            P, centers_lowd, hp.max_kmeans_lowd_reps
-        )
-        centers_full = jnp.matmul(
-            centers_lowd, U.T, precision=jax.lax.Precision.HIGHEST
-        )
-        # Full-space k-means honoring kmeans_algo_for_sparse (the in-core
-        # dispatch, trainer.py stage 8; previously hardcoded Lloyd's).
-        if hp.kmeans_algo_for_sparse == "elkans":
-            from .elkans import run_elkans
+            P = mat_bt_x(Bh, U, cfg.tpu.spmm_chunk).T
+            seeds, centers_lowd, _ = kmeans_init_on_projected(
+                P, k, hp.kmeans_init_reps, sub_seed,
+                method=hp.kmeans_init_method,
+            )
+            centers_lowd, _ = run_lloyds_projected(
+                P, centers_lowd, hp.max_kmeans_lowd_reps
+            )
+            centers_full = jnp.matmul(
+                centers_lowd, U.T, precision=jax.lax.Precision.HIGHEST
+            )
+            # Full-space k-means honoring kmeans_algo_for_sparse (the
+            # in-core dispatch, trainer.py stage 8).
+            if hp.kmeans_algo_for_sparse == "elkans":
+                from .elkans import run_elkans
 
-            centers_full, assign = run_elkans(
-                B, centers_full, hp.max_kmeans_reps, timer=t.timer
+                centers_full, assign = run_elkans(
+                    Bh, centers_full, hp.max_kmeans_reps, timer=t.timer
+                )
+            else:
+                centers_full, assign = run_lloyds_full(
+                    Bh, centers_full, hp.max_kmeans_reps
+                )
+            return evalues, U, centers_full, assign
+
+        try:
+            evalues, U, centers_full, assign = run_middle(head_bytes)
+        except Exception as e:
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Ran out of memory" in str(e))
+            if not (slab_held and oom):
+                raise
+            t.logger.warning(
+                "middle stages exhausted HBM with the resident corpus "
+                "held; releasing the slabs and retrying (the finish "
+                "passes will refill)"
             )
-        else:
-            centers_full, assign = run_lloyds_full(
-                B, centers_full, hp.max_kmeans_reps
+            loader.release()
+            slab_held = False
+            evalues, U, centers_full, assign = run_middle(
+                cfg.tpu.dense_head_bytes
             )
+        t.evalues = evalues
         t.centers = np.asarray(centers_full)
         t.timer.next("k-means")
 
@@ -969,8 +1053,9 @@ class StreamedTrainer:
         # Free the SVD/k-means device state before the catchword/topic
         # passes: at PubMed scale B's dense head alone is ~4.3 GB and the
         # final stages need ~8-9 GB of (D, k) working set — holding both
-        # ran HBM out (observed on the 787M-nnz run).
-        del B, P, U, centers_lowd, centers_full, assign
+        # ran HBM out (observed on the 787M-nnz run). The hybrid form and
+        # the projection died with run_middle's scope.
+        del B, U, centers_full, assign
         self._finish(corpus, cluster_of_doc, sizes, k, D, hp, cfg, ce,
                      loader)
 

@@ -312,3 +312,66 @@ def test_resident_loader_matches_wire_loaders():
     # budget 0 -> per-pass loader without even computing the plan
     off = get_corpus_loader(corpus, 128, resident_bytes=0)
     assert not isinstance(off, ResidentLoader)
+
+
+def test_plan_middle_budget():
+    """Slab-vs-head policy: keep the resident corpus whenever the middle
+    fits beside it (shrinking, then dropping, the dense head), release
+    only when even the no-head middle cannot fit."""
+    from isle_tpu.streaming import plan_middle_budget
+
+    GiB = 1 << 30
+    # plenty of room: keep slabs, full configured head
+    keep, head = plan_middle_budget(14 * GiB, 100 << 20, 1_000_000, 4 * GiB)
+    assert keep and head == 4 * GiB
+    # the PubMed shape (slabs ~4.2 GB, nnz(B) 79.4M): the full 4 GiB head
+    # + slabs OOM'd the 16 GB chip, so the head must shrink, not the slabs
+    keep, head = plan_middle_budget(
+        14 * GiB, 4_170_000_000, 79_400_000, 4 * GiB
+    )
+    assert keep and 0 < head < 4 * GiB
+    # tighter: drop the head entirely but keep the slabs (a refill costs
+    # a full corpus re-upload; the head only saves seconds of SpMM)
+    keep, head = plan_middle_budget(
+        8 * GiB, 4_170_000_000, 79_400_000, 4 * GiB
+    )
+    assert keep and head == 0
+    # impossible even without the head: release (round-2 behavior)
+    keep, head = plan_middle_budget(
+        6 * GiB, 4_170_000_000, 79_400_000, 4 * GiB
+    )
+    assert not keep and head == 4 * GiB
+    # head disabled by config: keep iff the no-head middle fits
+    keep, head = plan_middle_budget(14 * GiB, 100 << 20, 1_000_000, 0)
+    assert keep and head == 0
+
+
+def test_streamed_release_path_matches_keep_path(corpus_pair):
+    """Forcing the round-2 release-and-refill path (tiny hbm budget) must
+    produce bitwise the keep path's model, paying exactly one extra
+    resident fill."""
+    import dataclasses
+
+    from isle_tpu.config import TpuConfig
+    from isle_tpu.streaming import ResidentLoader
+
+    tmp, tdf, V, D, k = corpus_pair
+    cfg_keep = TrainConfig(num_topics=k, seed=3)
+    t_keep = StreamedTrainer(cfg_keep, output_dir=str(tmp / "keep"),
+                             chunk_entries=1024)
+    t_keep._t.load_data_from_file(tdf)
+    t_keep.train()
+    assert isinstance(t_keep._loader, ResidentLoader)
+    assert t_keep._loader.fill_count == 1  # slabs held end to end
+
+    cfg_rel = dataclasses.replace(
+        cfg_keep, tpu=dataclasses.replace(cfg_keep.tpu, hbm_bytes=1 << 20)
+    )
+    t_rel = StreamedTrainer(cfg_rel, output_dir=str(tmp / "rel"),
+                            chunk_entries=1024)
+    t_rel._t.load_data_from_file(tdf)
+    t_rel.train()
+    assert t_rel._loader.fill_count == 2  # released + refilled for finish
+
+    np.testing.assert_array_equal(t_rel.model, t_keep.model)
+    np.testing.assert_array_equal(t_rel.cluster_of_doc, t_keep.cluster_of_doc)
