@@ -530,7 +530,9 @@ def _hist_accum(hist_banked, words, vals, F: int):
     r = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
     nbanks = (F + 1 + 127) // 128
     n = words.shape[0]
-    chunk = max(min(1 << 18, n), 1)
+    # 2^20 sub-chunks measured 44.7 M entries/s vs 40.5 at 2^18 at the
+    # PubMed chunk shape (benchmarks/micro_hist.py)
+    chunk = max(min(1 << 20, n), 1)
     while n % chunk:
         chunk //= 2
 
