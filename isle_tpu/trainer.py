@@ -246,7 +246,7 @@ class Trainer:
         # this belong in streaming.StreamedTrainer (out-of-core).
         est = 6 * 4 * self.corpus.nnz + cfg.tpu.dense_head_bytes \
             + 8 * 4 * D * k
-        if est > 12 << 30:
+        if est > cfg.tpu.hbm_bytes:
             self.logger.warning(
                 f"estimated device footprint ~{est / 2**30:.1f} GiB may "
                 "exceed HBM; consider streaming.StreamedTrainer "

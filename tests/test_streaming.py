@@ -375,3 +375,39 @@ def test_streamed_release_path_matches_keep_path(corpus_pair):
 
     np.testing.assert_array_equal(t_rel.model, t_keep.model)
     np.testing.assert_array_equal(t_rel.cluster_of_doc, t_keep.cluster_of_doc)
+
+
+def test_streamed_middle_oom_fallback(corpus_pair, monkeypatch, tmp_path):
+    """RESOURCE_EXHAUSTED during the slab-held middle must release the
+    slabs and retry at the configured head budget, matching the normal
+    run's outputs."""
+    import isle_tpu.hybrid as hybrid_mod
+
+    tmp, tdf, V, D, k = corpus_pair
+    cfg = TrainConfig(num_topics=k, seed=3)
+
+    t_ref = StreamedTrainer(cfg, output_dir=str(tmp_path / "ref"),
+                            chunk_entries=1024)
+    t_ref._t.load_data_from_file(tdf)
+    t_ref.train()
+
+    real = hybrid_mod.to_hybrid
+    calls = {"n": 0}
+
+    def oom_once(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error "
+                               "(ResourceExhausted) [simulated]")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(hybrid_mod, "to_hybrid", oom_once)
+    t_oom = StreamedTrainer(cfg, output_dir=str(tmp_path / "oom"),
+                            chunk_entries=1024)
+    t_oom._t.load_data_from_file(tdf)
+    t_oom.train()
+
+    assert calls["n"] == 2  # failed attempt + successful retry
+    assert t_oom._loader.fill_count == 2  # released, refilled for finish
+    np.testing.assert_array_equal(t_oom.model, t_ref.model)
+    np.testing.assert_array_equal(t_oom.cluster_of_doc, t_ref.cluster_of_doc)
