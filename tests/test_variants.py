@@ -260,3 +260,42 @@ class TestImplicitProjection:
         )
         agree = float(np.mean(models[0][1] == models[1][1]))
         assert agree > 0.99, f"cluster agreement {agree}"
+
+
+def test_trainer_cross_layout_agreement(tmp_path):
+    """Training on the hybrid dense-head layout vs pure COO (head
+    disabled) must agree: the layouts compute the same operator up to
+    float summation order (the PubMed slab-hold runs showed the head
+    SIZE shifts fp roundoff in U, so this pins the cross-layout bar
+    end-to-end, like the reference's Spectra-vs-BlockKs mutual check)."""
+    import dataclasses
+
+    from isle_tpu.config import HyperParams, TpuConfig, TrainConfig
+    from isle_tpu.trainer import Trainer
+    from test_end_to_end import planted_corpus
+
+    rng = np.random.default_rng(33)
+    V, D, k = 60, 300, 4
+    text, _ = planted_corpus(rng, V, D, k)
+    tdf = tmp_path / "c.tdf"
+    tdf.write_text(text)
+
+    models = []
+    for head_bytes in (4 << 30, 0):
+        cfg = TrainConfig(
+            num_topics=k, seed=0,
+            hyper=HyperParams(block_ks_block_size=8),
+            tpu=TpuConfig(dense_head_bytes=head_bytes),
+        )
+        tr = Trainer(
+            cfg, output_dir=str(tmp_path / f"h{head_bytes}"), quiet=True
+        )
+        tr.load_data_from_file(str(tdf))
+        tr.train()
+        models.append((tr.model, tr.cluster_of_doc, np.asarray(tr.evalues)))
+    np.testing.assert_allclose(models[0][2], models[1][2], rtol=1e-4)
+    agree = float(np.mean(models[0][1] == models[1][1]))
+    assert agree > 0.99, f"cluster agreement {agree}"
+    np.testing.assert_allclose(
+        models[0][0], models[1][0], rtol=1e-4, atol=1e-6
+    )
