@@ -23,6 +23,7 @@ import argparse
 import json
 import multiprocessing as mp
 import os
+import signal
 import sys
 import time
 
@@ -32,6 +33,63 @@ NYT = dict(vocab=102_660, docs=300_000, nnz=48_000_000, k=100)
 SMALL = dict(vocab=28_000, docs=40_000, nnz=3_000_000, k=20)
 TINY = dict(vocab=2_000, docs=3_000, nnz=120_000, k=10)
 CPU_SCALE = 16
+
+# Global wall-clock budget: the bench MUST emit its JSON line inside this
+# window no matter what the backend does (round-3 lesson: the axon tunnel
+# was down at capture time and unbounded retries ran into the driver's
+# kill, recording rc=124 with no parseable result — BENCH_r03.json).
+BUDGET_S = float(os.environ.get("ISLE_BENCH_BUDGET_S", "3300"))
+_START = time.monotonic()
+# Pinned CPU-proxy estimate for the NYT shape, from the round-2
+# driver-captured run (BENCH_r02.json: 376.1 s at 1/16 scale -> 6018 s
+# extrapolated). Used only when the live proxy leg fails or the budget
+# is too tight to run it.
+PINNED_CPU_EST = {"nytimes": 6018.1}
+
+_emitted = False
+_partial: dict = {}
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _START)
+
+
+def emit(obj: dict) -> None:
+    global _emitted
+    print(json.dumps(obj))
+    sys.stdout.flush()
+    _emitted = True
+
+
+def _fail_json(label: str, shape: dict, error: str) -> dict:
+    return {
+        "metric": (
+            f"e2e train wall-clock, synthetic {label} "
+            f"({shape['vocab']} vocab x {shape['docs']} docs, k={shape['k']})"
+        ),
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "error": error,
+        "partial": dict(_partial),
+    }
+
+
+def _install_kill_handler(label: str, shape: dict) -> None:
+    """Emit a diagnosable JSON line even if an external watchdog SIGTERMs
+    us (the `timeout` command's default), instead of dying silently."""
+
+    def _h(signum, frame):
+        if not _emitted:
+            emit(_fail_json(
+                label, shape,
+                f"killed by signal {signum} after "
+                f"{time.monotonic() - _START:.0f}s",
+            ))
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _h)
+    signal.signal(signal.SIGINT, _h)
 
 
 def _zipf_ranks(u: np.ndarray, n: int) -> np.ndarray:
@@ -68,8 +126,49 @@ def synth_corpus(vocab: int, docs: int, nnz: int, seed: int = 0):
     return d, w, c
 
 
-def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
-                 warmup: bool = True):
+def preflight(queue=None):
+    """Tiny matmul + host readback on the default backend: proves the
+    TPU tunnel is up and the remote compile service answers. Runs in a
+    subprocess under a deadline so a hung backend can't stall the bench."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.float32)
+    v = float((x @ x).sum())  # host readback forces remote execution
+    ok = abs(v - 256.0 ** 3) < 1.0
+    if queue is not None:
+        queue.put({"ok": ok, "platform": str(jax.devices()[0].platform)})
+    return ok
+
+
+def _run_leg(target, args_tuple, deadline_s: float):
+    """Run `target(*args_tuple, queue)` in a spawn subprocess with a hard
+    deadline; returns the queued result dict or None on failure/timeout."""
+    deadline_s = max(deadline_s, 10.0)
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=target, args=(*args_tuple, q))
+    p.start()
+    p.join(deadline_s)
+    if p.is_alive():
+        print(f"# leg exceeded {deadline_s:.0f}s deadline; terminating",
+              file=sys.stderr)
+        p.terminate()
+        p.join(30)
+        if p.is_alive():
+            p.kill()
+            p.join()
+    last = None
+    try:
+        while True:
+            last = q.get_nowait()
+    except Exception:
+        pass
+    return last
+
+
+def run_pipeline(platform: str, shape: dict, seed: int, warmup: bool = True,
+                 queue=None):
     if platform == "cpu":
         os.environ.setdefault("XLA_FLAGS", "")
         import jax
@@ -131,6 +230,16 @@ def run_pipeline(platform: str, shape: dict, seed: int, queue=None,
           file=sys.stderr)
     gflops = tr2.op_counter.gflops()
 
+    # Post a train-only partial before the inference stage: if the infer
+    # leg hangs into the deadline, the parent still gets the train number
+    # (the queue is drained last-item-wins).
+    if queue is not None:
+        queue.put(dict(
+            train_s=train_s, cold_s=cold_s, svd_gflops=gflops,
+            infer_s=-1.0, infer_docs_per_s=0.0,
+            platform=str(jax.devices()[0].platform), nnz=corpus.nnz,
+        ))
+
     # MWU inference throughput over the full corpus (ISLEInfer's workload:
     # drivers/ISLEInfer.cpp; docs re-normalized to unit mass).
     import dataclasses as _dc
@@ -183,32 +292,53 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--no-cpu-proxy", action="store_true")
+    ap.add_argument("--budget", type=float, default=None,
+                    help="override the global wall-clock budget (s)")
     args = ap.parse_args()
+    if args.budget is not None:
+        global BUDGET_S
+        BUDGET_S = args.budget
     shape = TINY if args.tiny else (SMALL if args.small else NYT)
     label = "tiny" if args.tiny else ("small" if args.small else "nytimes")
+    _install_kill_handler(label, shape)
 
-    # TPU leg in a subprocess so a backend fault doesn't kill the bench;
-    # the tunnel/remote-compile service occasionally drops a worker
-    # (BENCH_NOTES.md) — retry once in a fresh process.
-    ctx = mp.get_context("spawn")
+    # --- Preflight: is the TPU backend reachable at all? (round-3 lesson) ---
+    pf = _run_leg(preflight, (), deadline_s=min(240.0, _remaining() - 60))
+    if pf is None or not pf.get("ok"):
+        print("# preflight failed; one retry", file=sys.stderr)
+        pf = _run_leg(preflight, (), deadline_s=min(150.0, _remaining() - 30))
+    if pf is None or not pf.get("ok"):
+        emit(_fail_json(label, shape, "backend-unavailable: preflight "
+                        "matmul failed twice (tunnel/compile service down)"))
+        return
+    _partial["preflight"] = pf
+    print(f"# preflight ok on {pf['platform']} "
+          f"({time.monotonic() - _START:.0f}s in)", file=sys.stderr)
+
+    # --- TPU leg: bounded retries inside the budget. Reserve time for the
+    # CPU proxy (pinned fallback exists, so the reserve is modest). ---
     res = None
     for attempt in range(2):
-        q = ctx.Queue()
-        p = ctx.Process(target=run_pipeline, args=("default", shape, 0, q))
-        p.start()
-        p.join()
-        try:
-            res = q.get_nowait()
-        except Exception:
-            res = None
+        reserve = 120.0
+        deadline = _remaining() - reserve
+        if deadline < 300.0:
+            break
+        res = _run_leg(run_pipeline, ("default", shape, 0, True), deadline)
         if res is not None:
             break
-        print(f"# TPU run attempt {attempt} failed; retrying", file=sys.stderr)
+        print(f"# TPU run attempt {attempt} failed; "
+              f"{_remaining():.0f}s left", file=sys.stderr)
     if res is None:
-        print("# TPU pipeline failed twice; running in-process", file=sys.stderr)
-        res = run_pipeline("default", shape, seed=0)
+        emit(_fail_json(label, shape,
+                        "tpu-leg-failed: pipeline subprocess produced no "
+                        "result within budget (preflight was OK)"))
+        return
+    _partial["tpu"] = {k: res[k] for k in
+                       ("train_s", "cold_s", "infer_s", "platform")}
 
+    # --- CPU proxy leg (live if budget allows, else pinned estimate). ---
     vs_baseline = 0.0
+    proxy_note = ""
     if not args.no_cpu_proxy:
         cpu_shape = dict(
             vocab=shape["vocab"],
@@ -216,39 +346,41 @@ def main():
             nnz=shape["nnz"] // CPU_SCALE,
             k=shape["k"],
         )
-        # CPU proxy in a subprocess so the backend choice doesn't leak.
-        ctx = mp.get_context("spawn")
-        q = ctx.Queue()
-        p = ctx.Process(
-            target=run_pipeline, args=("cpu", cpu_shape, 0, q, False)
-        )
-        p.start()
-        cpu_res = q.get()
-        p.join()
-        cpu_est = cpu_res["train_s"] * CPU_SCALE
-        vs_baseline = cpu_est / res["train_s"]
-        print(
-            f"# cpu proxy: {cpu_res['train_s']:.1f}s at 1/{CPU_SCALE} scale "
-            f"-> est {cpu_est:.1f}s full; tpu {res['train_s']:.1f}s",
-            file=sys.stderr,
-        )
+        cpu_res = None
+        if _remaining() > 180.0:
+            cpu_res = _run_leg(run_pipeline, ("cpu", cpu_shape, 0, False),
+                               _remaining() - 60.0)
+        if cpu_res is not None:
+            cpu_est = cpu_res["train_s"] * CPU_SCALE
+            print(
+                f"# cpu proxy: {cpu_res['train_s']:.1f}s at 1/{CPU_SCALE} "
+                f"scale -> est {cpu_est:.1f}s full; tpu {res['train_s']:.1f}s",
+                file=sys.stderr,
+            )
+        elif label in PINNED_CPU_EST:
+            cpu_est = PINNED_CPU_EST[label]
+            proxy_note = " (pinned r2 proxy)"
+            print(f"# cpu proxy leg unavailable; using pinned estimate "
+                  f"{cpu_est:.1f}s (BENCH_r02.json)", file=sys.stderr)
+        else:
+            cpu_est = None
+        if cpu_est is not None:
+            vs_baseline = cpu_est / res["train_s"]
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"e2e train wall-clock (compile-amortized), synthetic "
-                    f"{label} ({shape['vocab']} vocab x {shape['docs']} "
-                    f"docs, {res['nnz']} nnz, k={shape['k']}); SVD SpMM "
-                    f"{res['svd_gflops']:.1f} GFLOP/s; MWU infer "
-                    f"{res['infer_docs_per_s']:.0f} docs/s on "
-                    f"{res['platform']}"
-                ),
-                "value": round(res["train_s"], 2),
-                "unit": "s",
-                "vs_baseline": round(vs_baseline, 2),
-            }
-        )
+    emit(
+        {
+            "metric": (
+                f"e2e train wall-clock (compile-amortized), synthetic "
+                f"{label} ({shape['vocab']} vocab x {shape['docs']} "
+                f"docs, {res['nnz']} nnz, k={shape['k']}); SVD SpMM "
+                f"{res['svd_gflops']:.1f} GFLOP/s; MWU infer "
+                f"{res['infer_docs_per_s']:.0f} docs/s on "
+                f"{res['platform']}{proxy_note}"
+            ),
+            "value": round(res["train_s"], 2),
+            "unit": "s",
+            "vs_baseline": round(vs_baseline, 2),
+        }
     )
 
 

@@ -30,6 +30,25 @@ class HyperParams:
     rho: float = 1.1
     eps3: float = 5.0
 
+    # USE_INT_NORMALIZED_COUNTS (hyperparams.h:14; include/types.h:82-86).
+    # True selects the reference's count_t pipeline: normalized values are
+    # ceil(avg_doc_sz * count / doc_sum) stored as integers (the FPTYPE
+    # path computes the product in fp and rounds later, in the threshold
+    # walk). Default false, matching the reference build.
+    use_int_normalized_counts: bool = False
+
+    # FEW_SAMPLES_THRESHOLD_DROP (hyperparams.h:16-21): when a word occurs
+    # in fewer docs than count_gr, drop the word entirely (zeta = +inf;
+    # the reference writes FP_MAX / 1<<31) instead of "throw everything
+    # in" (zeta = 1). Default false, matching the reference build.
+    few_samples_threshold_drop: bool = False
+
+    # BAD_THRESHOLD_DROP (hyperparams.h:23-25): when the downward zeta
+    # walk exhausts (reaches the last distinct value, or value 1, without
+    # satisfying the tie cap), drop the word (zeta = +inf) instead of
+    # zeta = 1. Default false, matching the reference build.
+    bad_threshold_drop: bool = False
+
     # Eigensolver (hyperparams.h:31-40). "block_ks" is the default in the
     # reference; "dense" runs the full dense eigendecomposition oracle
     # (the reference's compare_LAPACK_Spectra pattern,
@@ -43,6 +62,11 @@ class HyperParams:
     # unchanged, so results agree to tolerance.
     block_ks_block_size: int = 128
     block_ks_tolerance: float = 1e-4
+    # Strict convergence: raise if the eigensolver converges fewer than
+    # nev pairs within the restart cap, as the reference's assert does
+    # (src/sparseMatrix.cpp:1207). False logs a warning with the residual
+    # diagnostics and proceeds with the best available subspace.
+    block_ks_strict: bool = False
 
     # Streaming block size over documents (hyperparams.h:42).
     doc_block_size: int = 1 << 18
@@ -58,6 +82,9 @@ class HyperParams:
     # k-means configuration (hyperparams.h:46-68).
     kmeans_init_method: str = "kmeanspp"  # kmeanspp | kmeansbb | kmeansmcmc
     kmeans_init_reps: int = 1
+    # AFK-MC^2 Markov-chain batch size (hyperparams.h:54
+    # KMEANSMCMC_SAMPLE_SIZE, consumed at src/denseMatrix.cpp:790).
+    kmeansmcmc_sample_size: int = 10000
     enable_kmeans_on_lowd: bool = True
     max_kmeans_lowd_reps: int = 10
     kmeans_algo_for_sparse: str = "lloyds"  # lloyds | elkans

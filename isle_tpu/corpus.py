@@ -133,12 +133,21 @@ class Corpus:
         tf_idf: bool = False,
         normalize_to_one: bool = False,
         sort_dedup: bool = True,
+        int_normalized: bool = False,
     ) -> "Corpus":
         """Assemble + normalize, mirroring finalize_data → populate_CSC →
         normalize_docs (src/trainer.cpp:232-299, src/sparseMatrix.cpp:58-167).
 
         normalize_to_one=False scales each doc to sum avg_doc_sz (training);
         True scales to unit sum (inference).
+
+        int_normalized=True is the reference's USE_INT_NORMALIZED_COUNTS
+        count_t build (include/types.h:82-86): normalized values become
+        ceil(avg_doc_sz * count / doc_sum) integers
+        (src/sparseMatrix.cpp:149-152) — stored here in the same float32
+        vals array (all values are exact small integers). Incompatible
+        with normalize_to_one (the reference asserts,
+        src/sparseMatrix.cpp:150).
         """
         docs = np.asarray(docs)
         words = np.asarray(words)
@@ -187,7 +196,18 @@ class Corpus:
         avg_doc_sz = float(np.float32(total // max(nz_docs, 1)))
 
         per_entry_sum = np.repeat(doc_sums, np.diff(offsets).astype(np.int64))
-        if normalize_to_one:
+        if int_normalized:
+            assert not normalize_to_one, (
+                "USE_INT_NORMALIZED_COUNTS is a training-side count_t "
+                "build; unit-mass normalization asserts in the reference "
+                "(src/sparseMatrix.cpp:150)"
+            )
+            # normalized = ceil(avg_doc_sz * val / doc_sum) as an integer
+            # (src/sparseMatrix.cpp:151-152, count_t branch).
+            vals = np.ceil(
+                np.float32(avg_doc_sz) * fcounts / per_entry_sum
+            ).astype(np.float32)
+        elif normalize_to_one:
             # normalized = val / doc_sum (src/sparseMatrix.cpp:157-158)
             vals = (fcounts / per_entry_sum).astype(np.float32)
         else:
@@ -217,6 +237,7 @@ class Corpus:
         tf_idf: bool = False,
         normalize_to_one: bool = False,
         doc_base_offset: int = 0,
+        int_normalized: bool = False,
     ) -> "Corpus":
         docs, words, counts = read_tdf_entries(path, max_entries)
         if doc_base_offset:
@@ -229,6 +250,7 @@ class Corpus:
             num_docs=num_docs,
             tf_idf=tf_idf,
             normalize_to_one=normalize_to_one,
+            int_normalized=int_normalized,
         )
 
 
@@ -249,7 +271,8 @@ class EntryFeeder:
         self._counts.append(np.asarray(counts))
 
     def finalize(
-        self, vocab_size: int = 0, num_docs: int = 0, tf_idf: bool = False
+        self, vocab_size: int = 0, num_docs: int = 0, tf_idf: bool = False,
+        int_normalized: bool = False,
     ) -> Corpus:
         docs = np.concatenate(self._docs) if self._docs else np.zeros(0, np.int64)
         words = np.concatenate(self._words) if self._words else np.zeros(0, np.int64)
@@ -257,7 +280,8 @@ class EntryFeeder:
             np.concatenate(self._counts) if self._counts else np.zeros(0, np.int64)
         )
         return Corpus.from_entries(
-            docs, words, counts, vocab_size=vocab_size, num_docs=num_docs, tf_idf=tf_idf
+            docs, words, counts, vocab_size=vocab_size, num_docs=num_docs,
+            tf_idf=tf_idf, int_normalized=int_normalized,
         )
 
 

@@ -56,10 +56,16 @@ class Inferencer:
         self.model_mass = self.model.sum(axis=1)
 
     def infer_corpus(self, corpus: Corpus, doc_begin: int = 1,
-                     top_n: int = 0) -> InferResult:
+                     top_n: int = 0,
+                     max_entries: Optional[int] = None) -> InferResult:
         """top_n > 0 downloads only each doc's top_n weights (the CLI
         report needs at most 5, drivers/ISLEInfer.cpp:100-111); other
-        entries of converged InferResult.weights rows are 0.0 filler."""
+        entries of converged InferResult.weights rows are 0.0 filler.
+
+        max_entries, when given, is the avg-LLH-per-word divisor exactly
+        as the CLI uses its max_entries ARGUMENT — not the actual entry
+        count — even when the file holds fewer entries
+        (drivers/ISLEInfer.cpp:183)."""
         cfg = self.config
         batch = build_infer_batch(corpus, self.model_mass)
         self.timer.next("pack inference batch")
@@ -85,7 +91,7 @@ class Inferencer:
         self.timer.next("MWU inference")
         nconv = int(conv.sum())
         D = corpus.num_docs
-        total_entries = corpus.nnz
+        total_entries = max_entries if max_entries else corpus.nnz
         # Aggregates exactly as the CLI reports them
         # (drivers/ISLEInfer.cpp:166-183).
         avg_doc = (
@@ -129,7 +135,8 @@ class Inferencer:
         self.timer.next("load inference data")
         # The file report needs only the top-5 topics per doc; skip the
         # full (D, k) weight download.
-        result = self.infer_corpus(corpus, doc_begin, top_n=5)
+        result = self.infer_corpus(corpus, doc_begin, top_n=5,
+                                   max_entries=max_entries)
         if write_outputs:
             # One output file per 1M-doc block, as the reference's parallel
             # inference path does (drivers/ISLEInfer.cpp:66-84).

@@ -130,6 +130,7 @@ def kmeans_init_on_projected(
     key: jax.Array,
     method: str = "kmeanspp",
     timer=None,
+    mcmc_sample_size: int = 10000,
 ) -> Tuple[Optional[jax.Array], jax.Array, float]:
     """Best-of-`reps` seeding with the configured method
     (kmeans_init_on_projected_space src/sparseMatrix.cpp:2212-2238;
@@ -143,7 +144,7 @@ def kmeans_init_on_projected(
             idx = None
         elif method == "kmeansmcmc":
             idx, centers, residual = kmeansmcmc_on_projected(
-                P, k, sub, timer=timer
+                P, k, sub, sample_size=mcmc_sample_size, timer=timer
             )
         else:
             idx, residual = kmeanspp_on_projected(P, k, sub)

@@ -274,7 +274,11 @@ def sharded_thresholds(
             jnp.int32
         )
         hist = hist.at[:, 0].set(0)
-        zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, jnp)
+        zeta, nnz_w = _zeta_from_hist(
+            hist, count_gr, count_eq, jnp,
+            few_drop=hyper.few_samples_threshold_drop,
+            bad_drop=hyper.bad_threshold_drop,
+        )
         return zeta[None].astype(jnp.float32), nnz_w[None]
 
     zl, nnzl = jax.shard_map(

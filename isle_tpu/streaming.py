@@ -571,6 +571,8 @@ def streamed_thresholds(
         hyper.count_gr(corpus.nz_docs, num_topics),
         hyper.count_eq(corpus.nz_docs, num_topics),
         jnp,
+        few_drop=hyper.few_samples_threshold_drop,
+        bad_drop=hyper.bad_threshold_drop,
     )
     return zeta.astype(jnp.float32), int(nnz_w.sum())
 
@@ -1003,6 +1005,7 @@ class StreamedTrainer:
             seeds, centers_lowd, _ = kmeans_init_on_projected(
                 P, k, hp.kmeans_init_reps, sub_seed,
                 method=hp.kmeans_init_method,
+                mcmc_sample_size=hp.kmeansmcmc_sample_size,
             )
             centers_lowd, _ = run_lloyds_projected(
                 P, centers_lowd, hp.max_kmeans_lowd_reps

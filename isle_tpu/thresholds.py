@@ -43,9 +43,17 @@ def freq_bound(avg_doc_sz: float) -> int:
     return int(np.floor(avg_doc_sz + 0.5)) + 1
 
 
-def _zeta_from_hist(hist, count_gr: int, count_eq: int, xp):
+def _zeta_from_hist(hist, count_gr: int, count_eq: int, xp,
+                    few_drop: bool = False, bad_drop: bool = False):
     """Shared vectorized ζ selection given a (vocab, F+1) histogram whose
-    column v counts entries that round to v (column 0 already zeroed)."""
+    column v counts entries that round to v (column 0 already zeroed).
+
+    few_drop / bad_drop flip the reference's FEW_SAMPLES_THRESHOLD_DROP /
+    BAD_THRESHOLD_DROP build flags (hyperparams.h:14-25): the affected
+    words get ζ = +inf (the reference writes FP_MAX / 1<<31 — any
+    unreachable sentinel; comparisons `freq >= ζ` then drop the word) and
+    contribute 0 to the post-threshold nnz. Absent words keep ζ = 1
+    unconditionally (src/sparseMatrix.cpp:477-480 is outside both flags)."""
     F1 = hist.shape[1]
     # n_ge[:, v] = #(rounded freqs >= v)
     n_ge = xp.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
@@ -60,13 +68,20 @@ def _zeta_from_hist(hist, count_gr: int, count_eq: int, xp):
         & (v_idx[None, :] >= 1)
     )
     zeta = xp.max(xp.where(eligible, v_idx[None, :], 0), axis=1)
+    absent = size == 0
+    too_few = (count_gr > size) & ~absent  # checked first (:395, continue)
+    exhausted = (zeta == 0) & ~too_few & ~absent  # walk fallback (:428-439)
     zeta = xp.where(zeta == 0, 1, zeta)  # exhausted walk -> throw all in
-    zeta = xp.where(count_gr > size, 1, zeta)  # too few samples
-    zeta = xp.where(size == 0, 1, zeta)  # absent word
+    zeta = xp.where(too_few, 1, zeta)  # too few samples
+    zeta = xp.where(absent, 1, zeta)  # absent word
     nnz_per_word = xp.take_along_axis(
         n_ge, xp.minimum(zeta, F1 - 1)[:, None], axis=1
     )[:, 0]
-    nnz_per_word = xp.where(size == 0, 0, nnz_per_word)
+    nnz_per_word = xp.where(absent, 0, nnz_per_word)
+    if few_drop or bad_drop:
+        drop = (too_few & few_drop) | (exhausted & bad_drop)
+        zeta = xp.where(drop, xp.inf, zeta.astype(xp.float32))
+        nnz_per_word = xp.where(drop, 0, nnz_per_word)
     return zeta, nnz_per_word
 
 
@@ -88,7 +103,11 @@ def compute_thresholds_np(
     hist = np.zeros((vocab_size, F + 1), dtype=np.int64)
     np.add.at(hist, (words.astype(np.int64), r), 1)
     hist[:, 0] = 0
-    zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, np)
+    zeta, nnz_w = _zeta_from_hist(
+        hist, count_gr, count_eq, np,
+        few_drop=hyper.few_samples_threshold_drop,
+        bad_drop=hyper.bad_threshold_drop,
+    )
     return zeta.astype(np.float32), int(nnz_w.sum())
 
 
@@ -133,7 +152,10 @@ def banked_hist(
 
 @partial(
     jax.jit,
-    static_argnames=("vocab_size", "F", "count_gr", "count_eq", "chunk"),
+    static_argnames=(
+        "vocab_size", "F", "count_gr", "count_eq", "chunk",
+        "few_drop", "bad_drop",
+    ),
 )
 def _compute_thresholds_jax(
     words: jax.Array,
@@ -143,13 +165,17 @@ def _compute_thresholds_jax(
     count_gr: int,
     count_eq: int,
     chunk: int = 1 << 20,
+    few_drop: bool = False,
+    bad_drop: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     r_all = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
     hist = banked_hist(words, r_all, vocab_size + 1, F, chunk)[
         :vocab_size
     ].astype(jnp.int32)
     hist = hist.at[:, 0].set(0)
-    zeta, nnz_w = _zeta_from_hist(hist, count_gr, count_eq, jnp)
+    zeta, nnz_w = _zeta_from_hist(
+        hist, count_gr, count_eq, jnp, few_drop=few_drop, bad_drop=bad_drop
+    )
     return zeta.astype(jnp.float32), nnz_w.sum()
 
 
@@ -171,4 +197,6 @@ def compute_thresholds_jax(
         freq_bound(avg_doc_sz),
         hyper.count_gr(nz_docs, num_topics),
         hyper.count_eq(nz_docs, num_topics),
+        few_drop=hyper.few_samples_threshold_drop,
+        bad_drop=hyper.bad_threshold_drop,
     )

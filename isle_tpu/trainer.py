@@ -107,10 +107,20 @@ def solve_gram_eigens(
         timer=timer,
         **kwargs,
     )
-    if res.nconv < k and logger:
-        logger.warning(
-            f"{eigensolver} converged only {res.nconv}/{k} eigenpairs"
-        )
+    if res.nconv < k:
+        if hp.block_ks_strict:
+            # The reference asserts on non-convergence
+            # (src/sparseMatrix.cpp:1207 `assert(nconv == num_topics)`).
+            raise RuntimeError(
+                f"{eigensolver} converged only {res.nconv}/{k} eigenpairs "
+                f"within {hp.block_ks_max_iters} restarts "
+                f"(block_ks_strict=True; evals head "
+                f"{np.asarray(res.evals[:4]).tolist()})"
+            )
+        if logger:
+            logger.warning(
+                f"{eigensolver} converged only {res.nconv}/{k} eigenpairs"
+            )
     return res.evals, res.evecs, (res, op_width)
 
 
@@ -158,6 +168,7 @@ class Trainer:
             vocab_size=c.vocab_size,
             num_docs=c.num_docs,
             tf_idf=c.tf_idf,
+            int_normalized=c.hyper.use_int_normalized_counts,
         )
         self._post_ingest()
         self.timer.next("load + finalize data")
@@ -171,7 +182,8 @@ class Trainer:
         assert self._feeder is not None, "feed_data first"
         c = self.config
         self.corpus = self._feeder.finalize(
-            vocab_size=c.vocab_size, num_docs=c.num_docs, tf_idf=c.tf_idf
+            vocab_size=c.vocab_size, num_docs=c.num_docs, tf_idf=c.tf_idf,
+            int_normalized=c.hyper.use_int_normalized_counts,
         )
         self._feeder = None
         self._post_ingest()
@@ -390,6 +402,7 @@ class Trainer:
         seeds, centers_lowd, init_residual = kmeans_init_on_projected(
             P, k, hp.kmeans_init_reps, sub,
             method=hp.kmeans_init_method, timer=self.timer,
+            mcmc_sample_size=hp.kmeansmcmc_sample_size,
         )
         self.logger.info(f"Best k-means init residual: {init_residual:.4f}")
         self.timer.next("k-means seeds initialization")
@@ -667,6 +680,7 @@ class Trainer:
         seeds, centers_lowd, init_residual = kmeans_init_on_projected(
             P, k, hp.kmeans_init_reps, sub,
             method=hp.kmeans_init_method, timer=self.timer,
+            mcmc_sample_size=hp.kmeansmcmc_sample_size,
         )
         self.logger.info(f"Best k-means init residual: {init_residual:.4f}")
         self.timer.next("k-means seeds initialization")

@@ -21,8 +21,15 @@ def thresholds_literal(
     vocab_size: int,
     count_gr: int,
     count_eq: int,
+    few_drop: bool = False,
+    bad_drop: bool = False,
 ) -> Tuple[np.ndarray, int]:
-    """compute_thresholds (src/sparseMatrix.cpp:357-485), FPTYPE branch."""
+    """compute_thresholds (src/sparseMatrix.cpp:357-485), FPTYPE branch.
+
+    few_drop / bad_drop restate the FEW_SAMPLES_THRESHOLD_DROP /
+    BAD_THRESHOLD_DROP build flags (hyperparams.h:14-25): the reference
+    writes FP_MAX as the drop sentinel (:397-401, :460-461); we use
+    float32 +inf — both make every `freq >= zeta` comparison false."""
     freqs: List[List[float]] = [[] for _ in range(vocab_size)]
     for w, v in zip(words, vals):
         freqs[int(w)].append(float(v))
@@ -36,8 +43,11 @@ def thresholds_literal(
             zetas[word] = 1.0  # (:478-480)
             continue
         if count_gr > len(f):  # too few occurrences (:395-411)
-            new_nnzs += len(f)
-            zetas[word] = 1.0
+            if few_drop:
+                zetas[word] = np.inf  # FP_MAX (:397-401)
+            else:
+                new_nnzs += len(f)
+                zetas[word] = 1.0
             continue
         zeta = f[count_gr - 1]
         while True:
@@ -48,8 +58,11 @@ def thresholds_literal(
                 zetas[word] = zeta
                 break
             if nxt == len(f) or zeta == 1:  # exhausted (:453-464)
-                new_nnzs += len(f)
-                zetas[word] = 1.0
+                if bad_drop:
+                    zetas[word] = np.inf  # FP_MAX (:460-461)
+                else:
+                    new_nnzs += len(f)
+                    zetas[word] = 1.0
                 break
             zeta = f[nxt]
     return zetas, new_nnzs

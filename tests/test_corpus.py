@@ -32,6 +32,32 @@ def test_normalize_to_one():
     np.testing.assert_allclose(c.vals, [0.25, 0.75, 1.0], rtol=1e-6)
 
 
+def test_int_normalized_counts():
+    """USE_INT_NORMALIZED_COUNTS build (include/types.h:82-86): normalized
+    values become ceil(avg_doc_sz * count / doc_sum) integers
+    (src/sparseMatrix.cpp:149-152, count_t branch)."""
+    docs = np.array([0, 0, 1], dtype=np.int64)
+    words = np.array([0, 1, 1], dtype=np.int64)
+    counts = np.array([1, 3, 5], dtype=np.int64)
+    # total = 9, nz_docs = 2 -> avg_doc_sz = 9 // 2 = 4
+    c = Corpus.from_entries(
+        docs, words, counts, vocab_size=2, num_docs=2, int_normalized=True
+    )
+    assert c.avg_doc_sz == 4.0
+    # doc0 sum 4: ceil(4*1/4)=1, ceil(4*3/4)=3; doc1 sum 5: ceil(4*5/5)=4
+    np.testing.assert_array_equal(c.vals, [1.0, 3.0, 4.0])
+    assert (c.vals == np.floor(c.vals)).all()
+    # Incompatible with unit-mass normalization (reference asserts,
+    # src/sparseMatrix.cpp:150).
+    import pytest
+
+    with pytest.raises(AssertionError):
+        Corpus.from_entries(
+            docs, words, counts, vocab_size=2, num_docs=2,
+            int_normalized=True, normalize_to_one=True,
+        )
+
+
 def test_doc_ids_flat():
     docs = np.array([0, 1, 1, 3], dtype=np.int64)
     words = np.array([0, 1, 2, 0], dtype=np.int64)

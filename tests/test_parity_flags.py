@@ -1,0 +1,120 @@
+"""Round-4 minor-parity surface: the dead-but-present reference build
+flags (hyperparams.h:14-25, :54), strict eigensolver convergence
+(src/sparseMatrix.cpp:1207), and the CLI's avg-LLH-per-word divisor
+(drivers/ISLEInfer.cpp:183)."""
+
+import numpy as np
+import pytest
+
+from isle_tpu.config import HyperParams, InferConfig, TrainConfig
+from isle_tpu.corpus import Corpus
+from isle_tpu.inferencer import Inferencer
+from isle_tpu.trainer import Trainer
+
+
+def _entries(rng, V, D, k, words_per_doc=24):
+    block = V // k
+    ds, ws, cs = [], [], []
+    for d in range(D):
+        t = rng.integers(0, k)
+        n_main = int(words_per_doc * 0.85)
+        w = np.concatenate([
+            rng.integers(t * block, (t + 1) * block, n_main),
+            rng.integers(0, V, words_per_doc - n_main),
+        ])
+        w, c = np.unique(w, return_counts=True)
+        ds.append(np.full(len(w), d))
+        ws.append(w)
+        cs.append(c)
+    return np.concatenate(ds), np.concatenate(ws), np.concatenate(cs)
+
+
+def test_int_normalized_counts_e2e(tmp_path):
+    """USE_INT_NORMALIZED_COUNTS=true trains end-to-end: integer
+    normalized values flow through thresholds (whose rounding is a no-op
+    on integers), B, SVD, k-means and the topic model."""
+    rng = np.random.default_rng(7)
+    V, D, k = 60, 240, 4
+    d, w, c = _entries(rng, V, D, k)
+    cfg = TrainConfig(
+        num_topics=k, seed=1,
+        hyper=HyperParams(
+            block_ks_block_size=8, use_int_normalized_counts=True
+        ),
+    )
+    tr = Trainer(cfg, output_dir=str(tmp_path), quiet=True)
+    tr.corpus = Corpus.from_entries(
+        d, w, c, vocab_size=V, num_docs=D, int_normalized=True
+    )
+    assert (tr.corpus.vals == np.floor(tr.corpus.vals)).all()
+    tr._post_ingest()
+    tr.train()
+    model = tr.get_model()
+    assert model.shape == (V, k)
+    np.testing.assert_allclose(model.sum(axis=0), 1.0, rtol=1e-4)
+
+
+def test_block_ks_strict_raises(tmp_path):
+    """block_ks_strict=True replicates the reference's convergence assert
+    (src/sparseMatrix.cpp:1207): an unreachable tolerance must raise
+    instead of warning and proceeding."""
+    rng = np.random.default_rng(3)
+    V, D, k = 60, 240, 4
+    d, w, c = _entries(rng, V, D, k)
+    cfg = TrainConfig(
+        num_topics=k, seed=1,
+        hyper=HyperParams(
+            block_ks_block_size=8, block_ks_tolerance=0.0,
+            block_ks_max_iters=2, block_ks_strict=True,
+        ),
+    )
+    tr = Trainer(cfg, output_dir=str(tmp_path), quiet=True)
+    tr.corpus = Corpus.from_entries(d, w, c, vocab_size=V, num_docs=D)
+    tr._post_ingest()
+    with pytest.raises(RuntimeError, match="converged only"):
+        tr.train()
+
+
+def test_avg_llh_per_word_uses_max_entries(tmp_path):
+    """The CLI divides the summed weighted LLH by its max_entries ARGUMENT,
+    not the actual entry count (drivers/ISLEInfer.cpp:183)."""
+    rng = np.random.default_rng(5)
+    V, D, k = 40, 60, 3
+    d, w, c = _entries(rng, V, D, k)
+    corpus = Corpus.from_entries(
+        d, w, c, vocab_size=V, num_docs=D, normalize_to_one=True
+    )
+    model = rng.random((V, k)).astype(np.float32)
+    model /= model.sum(axis=0, keepdims=True)
+    inf = Inferencer(
+        InferConfig(num_topics=k, vocab_size=V),
+        model=model, output_dir=str(tmp_path), quiet=True,
+    )
+    r_actual = inf.infer_corpus(corpus)
+    r_capped = inf.infer_corpus(corpus, max_entries=10 * corpus.nnz)
+    assert r_actual.avg_llh_per_word != 0.0
+    np.testing.assert_allclose(
+        r_capped.avg_llh_per_word, r_actual.avg_llh_per_word / 10.0,
+        rtol=1e-6,
+    )
+
+
+def test_kmeansmcmc_sample_size_plumbed(tmp_path):
+    """KMEANSMCMC_SAMPLE_SIZE (hyperparams.h:54) is a HyperParams knob
+    reaching the AFK-MC^2 chain: different sizes give different seedings
+    on a spread-out corpus (same key)."""
+    import jax
+
+    from isle_tpu.kmeans import kmeans_init_on_projected
+
+    rng = np.random.default_rng(11)
+    P = np.asarray(rng.random((6, 400)), np.float32)
+    key = jax.random.PRNGKey(0)
+    idx_a, _, _ = kmeans_init_on_projected(
+        P, 5, 1, key, method="kmeansmcmc", mcmc_sample_size=8
+    )
+    idx_b, _, _ = kmeans_init_on_projected(
+        P, 5, 1, key, method="kmeansmcmc", mcmc_sample_size=300
+    )
+    assert not np.array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    assert HyperParams().kmeansmcmc_sample_size == 10000
