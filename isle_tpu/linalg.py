@@ -37,9 +37,31 @@ import numpy as np
 
 HI = jax.lax.Precision.HIGHEST
 
+# Ritz values below RANK_TOL * lambda_max are numerically zero modes of the
+# PSD Gram operator (fp32 eps is 1.2e-7; the Gram accumulation noise floor
+# sits below 1e-6 relative). For these the per-eigenpair RELATIVE residual
+# ||resid_j|| / |w_j| is noise-over-noise and can never meet tol, so
+# convergence switches to the absolute test ||resid_j|| <= tol * lambda_max
+# and the reported eigenvalue clamps to exactly 0. This is how nev > rank(S)
+# terminates cleanly (duplicate-doc corpora; the reference instead detects
+# Krylov rank collapse and refills, block-ks/restarted_block_ks.h:106-132 —
+# the refilled directions here are the absorbed-DGKS QR's null-space
+# columns, which ARE eigenvectors with eigenvalue 0).
+RANK_TOL = 1e-6
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _converged_mask(w_nev, resid_norms, tol, xp=jnp):
+    """Per-eigenpair convergence with zero-mode handling (see RANK_TOL).
+    Returns (conv bool[nev], is_zero bool[nev])."""
+    w_max = xp.maximum(xp.abs(w_nev[0]), xp.float32(1e-30))
+    is_zero = xp.abs(w_nev) <= RANK_TOL * w_max
+    rel = resid_norms / xp.maximum(xp.abs(w_nev), xp.float32(1e-30))
+    conv = xp.where(is_zero, resid_norms <= tol * w_max, rel < tol)
+    return conv, is_zero
 
 
 @dataclasses.dataclass
@@ -158,11 +180,16 @@ def block_ks(
         W = W[:, order]
         resid = jnp.matmul(H[K:ncv, :K], W, precision=HI)  # (blk, K)
 
-        norms = jnp.linalg.norm(resid[:, :nev], axis=0) / jnp.abs(w[:nev])
-        norms_h = np.asarray(norms)
-        bad = np.flatnonzero(norms_h >= tol)
+        rnorm = jnp.linalg.norm(resid[:, :nev], axis=0)
+        conv, is_zero = _converged_mask(w[:nev], rnorm, tol)
+        conv_h = np.asarray(conv)
+        is_zero_h = np.asarray(is_zero)
+        norms_h = np.asarray(rnorm / jnp.maximum(jnp.abs(w[:nev]), 1e-30))
+        bad = np.flatnonzero(~conv_h)
         nconv = int(bad[0]) if len(bad) else nev
-        evals = np.asarray(w[:nev])
+        evals = np.where(is_zero_h, 0.0, np.asarray(w[:nev])).astype(
+            np.float32
+        )
 
         if timer is not None:
             timer.diag(
@@ -269,8 +296,9 @@ def block_ks_device(
         w = w[order]
         W = W[:, order]
         resid = jnp.matmul(H[K:ncv, :K], W, precision=HI)
-        norms = jnp.linalg.norm(resid[:, :nev], axis=0) / jnp.abs(w[:nev])
-        bad = norms >= tol
+        rnorm = jnp.linalg.norm(resid[:, :nev], axis=0)
+        conv, is_zero = _converged_mask(w[:nev], rnorm, tol)
+        bad = ~conv
         nconv = jnp.where(
             jnp.any(bad), jnp.argmax(bad), jnp.int32(nev)
         ).astype(jnp.int32)
@@ -281,7 +309,7 @@ def block_ks_device(
         Hn = jnp.zeros_like(H)
         Hn = Hn.at[jnp.arange(keep), jnp.arange(keep)].set(w[:keep])
         Hn = Hn.at[keep : keep + blk, :keep].set(resid[:, :keep])
-        return Vn, Hn, w[:nev], nconv
+        return Vn, Hn, jnp.where(is_zero, 0.0, w[:nev]), nconv
 
     @jax.jit
     def solve(data, key):
@@ -387,7 +415,7 @@ def lanczos_device(
         out = op(data, v[:, None]) if with_data else op(v[:, None])
         return out[:, 0]
 
-    def step(data, V, T, j):
+    def step(data, V, T, j, key):
         v = jax.lax.dynamic_slice_in_dim(V, j, 1, axis=1)[:, 0]
         w = matvec(data, v)
         # three-term recurrence + one full-reorth correction pass
@@ -397,9 +425,31 @@ def lanczos_device(
         w = w - jnp.einsum("dm,m->d", V, c2, precision=HI)
         coeffs = c1 + c2  # projected column (alpha at j, fill-ins above)
         b = jnp.linalg.norm(w)
-        vnext = w / jnp.maximum(b, jnp.finfo(jnp.float32).tiny)
+        # Breakdown repair (the reference's random refill on Krylov rank
+        # collapse, block-ks/restarted_block_ks.h:106-132): when the
+        # residual norm falls to the fp32 noise floor of the projected
+        # column, w/b would normalize ROUNDING NOISE into a basis vector
+        # that is neither unit-norm nor orthogonal — measured on a rank-6
+        # operator this exploded the Ritz values by ~200x. Continue with a
+        # fresh random direction orthogonalized against the basis and a
+        # beta of exactly 0 (the spectrum is untouched; the new direction
+        # simply reseeds the recurrence in the unexplored subspace).
+        scale = jnp.maximum(jnp.max(jnp.abs(coeffs)), 1.0)
+        breakdown = b <= 1e-6 * scale
+        rnd = jax.random.normal(jax.random.fold_in(key, j), (dim,),
+                                jnp.float32)
+        for _ in range(2):
+            rnd = rnd - jnp.einsum(
+                "dm,m->d", V, jnp.einsum("dm,d->m", V, rnd, precision=HI),
+                precision=HI,
+            )
+        rnd = rnd / jnp.maximum(jnp.linalg.norm(rnd), 1e-30)
+        vnext = jnp.where(
+            breakdown, rnd, w / jnp.maximum(b, jnp.finfo(jnp.float32).tiny)
+        )
+        beta = jnp.where(breakdown, 0.0, b)
         V = jax.lax.dynamic_update_slice(V, vnext[:, None], (0, j + 1))
-        col = coeffs.at[j + 1].set(b)
+        col = coeffs.at[j + 1].set(beta)
         T = jax.lax.dynamic_update_slice(T, col[:, None], (0, j))
         return V, T
 
@@ -411,8 +461,8 @@ def lanczos_device(
         w = w[order]
         W = W[:, order]
         resid = jnp.matmul(T[K:ncv, :K], W, precision=HI)  # (1, K) border
-        norms = jnp.abs(resid[0, :nev]) / jnp.abs(w[:nev])
-        bad = norms >= tol
+        conv, is_zero = _converged_mask(w[:nev], jnp.abs(resid[0, :nev]), tol)
+        bad = ~conv
         nconv = jnp.where(
             jnp.any(bad), jnp.argmax(bad), jnp.int32(nev)
         ).astype(jnp.int32)
@@ -423,7 +473,7 @@ def lanczos_device(
         Tn = jnp.zeros_like(T)
         Tn = Tn.at[jnp.arange(nev), jnp.arange(nev)].set(w[:nev])
         Tn = Tn.at[nev, :nev].set(resid[0, :nev])
-        return Vn, Tn, w[:nev], nconv
+        return Vn, Tn, jnp.where(is_zero, 0.0, w[:nev]), nconv
 
     step_jit = jax.jit(step)
     truncate_jit = jax.jit(truncate)
@@ -439,12 +489,12 @@ def lanczos_device(
     t0 = time.perf_counter()
     V, T = init_basis(key)
     for j in range(K):
-        V, T = step_jit(op_data, V, T, jnp.int32(j))
+        V, T = step_jit(op_data, V, T, jnp.int32(j), key)
     V, T, w, nconv = truncate_jit(V, T)
     restarts = 0
     while int(nconv) < nev and restarts < max_restarts:
         for j in range(s):
-            V, T = step_jit(op_data, V, T, jnp.int32(nev + j))
+            V, T = step_jit(op_data, V, T, jnp.int32(nev + j), key)
         V, T, w, nconv = truncate_jit(V, T)
         restarts += 1
     evecs = V[:, :nev]

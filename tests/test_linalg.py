@@ -199,3 +199,119 @@ def test_trainer_lanczos_eigensolver_option():
     b = run("lanczos")
     np.testing.assert_allclose(a.evalues, b.evalues, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(a.model, b.model, rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Rank-deficiency hardening (round-4 VERDICT item 4): the reference detects
+# Krylov-block rank collapse and refills with random directions
+# (block-ks/restarted_block_ks.h:106-132, ks_utils.h:43-127). Here the
+# absorbed-DGKS QR supplies null-space directions and the convergence test
+# switches to an absolute criterion for numerically-zero Ritz values
+# (linalg.RANK_TOL): nev > rank terminates with nconv == nev, exact-zero
+# tail eigenvalues, and an orthonormal basis whose tail columns span the
+# null space.
+# ---------------------------------------------------------------------------
+
+
+def _low_rank_op():
+    import jax
+
+    def op(data, X):
+        HI = jax.lax.Precision.HIGHEST
+        return jnp.matmul(
+            data, jnp.matmul(data.T, X, precision=HI), precision=HI
+        )
+
+    return op
+
+
+@pytest.mark.parametrize("solver_name", ["block_ks", "block_ks_device",
+                                         "lanczos"])
+@pytest.mark.parametrize("rank,nev", [(6, 10), (3, 8)])
+def test_rank_deficient_operator(solver_name, rank, nev):
+    from isle_tpu.linalg import block_ks_device, lanczos_device
+
+    rng = np.random.default_rng(rank)
+    dim = 300
+    B = jnp.asarray(rng.normal(size=(dim, rank)), jnp.float32)
+    w_ref, _ = dense_topk_eigh(np.asarray(B @ B.T, np.float64), nev)
+    solver, kw = {
+        "block_ks": (block_ks, dict(blk=8)),
+        "block_ks_device": (block_ks_device, dict(blk=8)),
+        "lanczos": (lanczos_device, {}),
+    }[solver_name]
+    res = solver(_low_rank_op(), dim, nev, op_data=B, tol=1e-4,
+                 max_restarts=12, key=jax.random.PRNGKey(0), **kw)
+    assert res.nconv == nev
+    # exact-zero tail evals (documented clamp), accurate leading evals
+    np.testing.assert_array_equal(res.evals[rank:], 0.0)
+    np.testing.assert_allclose(res.evals[:rank], w_ref[:rank],
+                               rtol=1e-4)
+    # the returned basis stays orthonormal (the historical failure mode:
+    # lanczos normalized rounding noise and blew the basis up ~200x)
+    E = np.asarray(res.evecs, np.float64)
+    assert np.abs(E.T @ E - np.eye(nev)).max() < 1e-5
+    # tail columns are genuine null-space eigenvectors: S u ~ 0
+    S = np.asarray(B @ B.T, np.float64)
+    tail_resid = np.linalg.norm(S @ E[:, rank:], axis=0)
+    assert tail_resid.max() < 1e-3 * w_ref[0]
+
+
+@pytest.mark.parametrize("solver_name", ["block_ks", "block_ks_device",
+                                         "lanczos"])
+def test_repeated_leading_eigenvalue(solver_name):
+    """5-fold degenerate leading eigenvalue (duplicate-doc corpora produce
+    exactly this)."""
+    from isle_tpu.linalg import block_ks_device, lanczos_device
+
+    rng = np.random.default_rng(42)
+    dim, nev = 200, 8
+    Q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    lam = np.concatenate(
+        [np.full(5, 5.0), [1.0, 0.5, 0.25], np.full(dim - 8, 0.01)]
+    )
+    B = jnp.asarray(Q * np.sqrt(lam), jnp.float32)  # S = B B^T
+    w_ref, _ = dense_topk_eigh(np.asarray(B @ B.T, np.float64), nev)
+    solver, kw = {
+        "block_ks": (block_ks, dict(blk=8)),
+        "block_ks_device": (block_ks_device, dict(blk=8)),
+        "lanczos": (lanczos_device, {}),
+    }[solver_name]
+    res = solver(_low_rank_op(), dim, nev, op_data=B, tol=1e-4,
+                 max_restarts=30, key=jax.random.PRNGKey(1), **kw)
+    assert res.nconv == nev
+    np.testing.assert_allclose(res.evals, w_ref, rtol=1e-4)
+
+
+def test_duplicate_doc_corpus_gram():
+    """A corpus whose docs are copies of 4 distinct docs: B B^T has rank
+    <= 4; ask for nev=6 through the real sparse Gram operator."""
+    rng = np.random.default_rng(3)
+    V, n_distinct, copies = 80, 4, 30
+    D = n_distinct * copies
+    ws, ds, vs = [], [], []
+    for proto in range(n_distinct):
+        w_p = np.sort(rng.choice(V, 12, replace=False))
+        v_p = rng.integers(1, 5, 12).astype(np.float32)
+        for c in range(copies):
+            d_id = proto * copies + c
+            ws.append(w_p)
+            ds.append(np.full(12, d_id))
+            vs.append(v_p)
+    w = np.concatenate(ws)
+    d = np.concatenate(ds)
+    v = np.concatenate(vs)
+    order = np.lexsort((w, d))
+    sp = DocSparse.build(w[order], d[order], v[order], V, D, chunk=1024)
+    nev = 6
+    res = block_ks(
+        lambda X: gram_x(sp, X), V, nev, blk=8, tol=1e-4,
+        key=jax.random.PRNGKey(0), max_restarts=12,
+    )
+    Bd = to_dense(sp).astype(np.float64)
+    w_ref, _ = dense_topk_eigh(Bd @ Bd.T, nev)
+    assert res.nconv == nev
+    np.testing.assert_allclose(
+        res.evals[:n_distinct], w_ref[:n_distinct], rtol=1e-4
+    )
+    np.testing.assert_array_equal(res.evals[n_distinct:], 0.0)
