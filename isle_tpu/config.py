@@ -173,6 +173,12 @@ class TpuConfig:
     profile_dir: str = ""
     # Matmul precision for parity-critical products (Gram matrices, QR).
     precise_matmul: str = "highest"
+    # Restart-warm eigensolver: when a prior 'svd' stage checkpoint exists
+    # in the run directory, seed the Krylov start block with its U
+    # (linalg._init_block) instead of random — retraining on the same or
+    # drifted data then converges in fewer operator applications. Off by
+    # default: the benchmark headline and parity runs use cold starts.
+    eigen_warm_start: bool = False
     # Streamed (out-of-core) mode: HBM budget for keeping a compact
     # device-RESIDENT copy of the corpus (word ids int32 + counts in the
     # smallest dtype, ~5 B/entry — 3.9 GB at the PubMed shape) so the

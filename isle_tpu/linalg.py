@@ -54,6 +54,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _init_block(dim: int, blk: int, key, start: Optional[jax.Array]):
+    """Orthonormal (dim, blk) start block: random, or — restart-warm —
+    the caller's previous eigenbasis in the leading columns topped up
+    with random directions (QR of [U_prev | random] keeps span(U_prev)
+    in the leading columns, so the first restart's Krylov space already
+    contains the old invariant subspace)."""
+    R = jax.random.normal(key, (dim, blk), jnp.float32)
+    if start is not None:
+        m = min(start.shape[1], blk)
+        R = jnp.concatenate(
+            [jnp.asarray(start[:, :m], jnp.float32), R[:, m:]], axis=1
+        )
+    Q0, _ = jnp.linalg.qr(R)
+    return Q0
+
+
 def _converged_mask(w_nev, resid_norms, tol, xp=jnp):
     """Per-eigenpair convergence with zero-mode handling (see RANK_TOL).
     Returns (conv bool[nev], is_zero bool[nev])."""
@@ -108,8 +124,13 @@ def block_ks(
     key: Optional[jax.Array] = None,
     timer=None,
     op_data=None,
+    start_block: Optional[jax.Array] = None,
 ) -> EigResult:
     """Top-`nev` eigenpairs of the symmetric PSD operator `op` on R^dim.
+
+    start_block, when given, restart-warms the solver: its columns seed
+    the initial Krylov block (see _init_block) — e.g. the previous run's
+    checkpointed U when retraining on the same or similar data.
 
     op maps (dim, blk) -> (dim, blk); when `op_data` (any pytree) is given,
     op is called as op(op_data, X) and the data flows through jit as an
@@ -151,8 +172,7 @@ def block_ks(
     # --- init: random orthonormal start block at columns [0, blk). ---
     V = jnp.zeros((dim, ncv), jnp.float32)
     H = jnp.zeros((ncv, K), jnp.float32)
-    Q0, _ = jnp.linalg.qr(jax.random.normal(key, (dim, blk), jnp.float32))
-    V = V.at[:, :blk].set(Q0)
+    V = V.at[:, :blk].set(_init_block(dim, blk, key, start_block))
 
     # Warm-up call so the op timer measures execution, not compilation
     # (the expand step is shape-stable across m; one compile serves all).
@@ -254,6 +274,7 @@ def block_ks_device(
     key: Optional[jax.Array] = None,
     timer=None,
     op_data=None,
+    start_block: Optional[jax.Array] = None,
 ) -> EigResult:
     """block_ks with the whole restart loop inside one jitted
     lax.while_loop: no host syncs per restart (each costs ~30 ms on the
@@ -312,10 +333,9 @@ def block_ks_device(
         return Vn, Hn, jnp.where(is_zero, 0.0, w[:nev]), nconv
 
     @jax.jit
-    def solve(data, key):
+    def solve(data, Q0):
         V = jnp.zeros((dim, ncv), jnp.float32)
         H = jnp.zeros((ncv, K), jnp.float32)
-        Q0, _ = jnp.linalg.qr(jax.random.normal(key, (dim, blk), jnp.float32))
         V = V.at[:, :blk].set(Q0)
 
         def init_body(i, carry):
@@ -346,7 +366,9 @@ def block_ks_device(
         return V[:, :nev], w, nconv, restarts
 
     t0 = time.perf_counter()
-    evecs, w, nconv, restarts = solve(op_data, key)
+    evecs, w, nconv, restarts = solve(
+        op_data, _init_block(dim, blk, key, start_block)
+    )
     nconv = int(nconv)
     restarts = int(restarts)
     seconds = time.perf_counter() - t0

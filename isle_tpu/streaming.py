@@ -844,7 +844,17 @@ class StreamedTrainer:
         stages from the run directory (same stage files as Trainer, so a
         run can even switch between in-core and streamed modes mid-way) —
         multi-hour out-of-core runs over a flaky device link restart
-        without recomputation."""
+        without recomputation.
+
+        With tpu.mesh_shape set, the whole out-of-core pipeline runs
+        doc-sharded over the device mesh (streaming_sharded.py): per-shard
+        resident slabs, S-way parallel chunk passes, psum'd additive
+        accumulators, and the in-core sharded middle on the streamed-built
+        B."""
+        if self._t.config.tpu.mesh_devices() > 1:
+            from .streaming_sharded import train_sharded_streamed
+
+            return train_sharded_streamed(self, resume=resume)
         from .catchwords import catchword_topic_map, find_catchwords, rth_highest
         from .hybrid import to_hybrid
         from .kmeans import (

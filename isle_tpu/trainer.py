@@ -54,6 +54,7 @@ def solve_gram_eigens(
     timer=None,
     logger=None,
     allow_dense: bool = True,
+    start_block=None,
 ):
     """Shared truncated-eigensolver dispatch for B·Bᵀ, honoring
     `hyper.eigensolver` identically across the in-core, sharded, and
@@ -95,6 +96,8 @@ def solve_gram_eigens(
     else:
         solver = block_ks_device if cfg.tpu.device_loop_solver else block_ks
         kwargs = dict(blk=hp.block_ks_block_size)
+        if start_block is not None:
+            kwargs["start_block"] = start_block
         op_width = hp.block_ks_block_size
     res = solver(
         op,
@@ -197,6 +200,30 @@ class Trainer:
         self.corpus = load_preprocessed(prefix)
         self._post_ingest()
         self.timer.next("load preprocessed data")
+
+    def _warm_start_block(self, V: int):
+        """Restart-warm eigen (tpu.eigen_warm_start): the previous run's
+        checkpointed U seeds the Krylov start block when its shape still
+        matches. Returns None (cold start) otherwise."""
+        if not self.config.tpu.eigen_warm_start:
+            return None
+        path = os.path.join(self.run_dir, "ckpt_svd.npz")
+        try:
+            with np.load(path) as z:
+                U = z["U"]
+        except (OSError, KeyError):
+            return None
+        if U.shape[0] != V:
+            self.logger.warning(
+                f"eigen_warm_start: checkpointed U has vocab {U.shape[0]} "
+                f"!= {V}; cold-starting"
+            )
+            return None
+        self.logger.info(
+            f"eigen_warm_start: seeding Krylov block from checkpointed U "
+            f"{U.shape}"
+        )
+        return jnp.asarray(U, jnp.float32)
 
     def _post_ingest(self) -> None:
         assert self.corpus is not None
@@ -365,6 +392,7 @@ class Trainer:
                 sub,
                 timer=self.timer,
                 logger=self.logger,
+                start_block=self._warm_start_block(V),
             )
             if stats is not None:
                 res, op_width = stats

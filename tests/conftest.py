@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost on this 1-vCPU host is
+# dominated by XLA compiles (shrinking test shapes barely moves wall
+# time); warm reruns skip every big compile. Cold first run pays a small
+# write overhead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/isle_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -7,6 +7,8 @@ from isle_tpu.catchwords import catchword_topic_map, find_catchwords, rth_highes
 from isle_tpu.sparse import DocSparse
 from literal_oracle import find_catchwords_literal, rth_highest_literal
 
+pytestmark = pytest.mark.quick  # <60s smoke tier
+
 
 def make_corpus(rng, V, D, density):
     mask = rng.random((V, D)) < density

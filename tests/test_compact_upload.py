@@ -6,6 +6,8 @@ import pytest
 from isle_tpu.corpus import Corpus
 from isle_tpu.sparse import DocSparse
 
+pytestmark = pytest.mark.quick  # <60s smoke tier
+
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_compact_matches_full(seed):

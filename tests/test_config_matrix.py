@@ -14,7 +14,10 @@ from isle_tpu.streaming import StreamedTrainer
 from isle_tpu.trainer import Trainer
 from test_end_to_end import planted_corpus
 
-V, D, K = 60, 300, 4
+# Smallest shape that exercises every combo's code path (this matrix
+# checks "runs or raises explicitly", not statistical quality — the
+# equality/quality tests live in test_sharded_trainer/test_streaming).
+V, D, K = 48, 160, 4
 
 # (mode, eigensolver, kmeans) -> expected exception type, or None = runs
 EXPECTED_ERRORS = {
@@ -46,7 +49,7 @@ def test_config_combo(tdf_path, tmp_path, mode, eigensolver, kmeans):
     cfg = TrainConfig(num_topics=K, seed=0, hyper=hp, tpu=tpu)
     out = str(tmp_path / f"{mode}_{eigensolver}_{kmeans}")
     if mode == "streamed":
-        tr = StreamedTrainer(cfg, output_dir=out, chunk_entries=1024)
+        tr = StreamedTrainer(cfg, output_dir=out, chunk_entries=512)
     else:
         tr = Trainer(cfg, output_dir=out, quiet=True)
     tr.load_data_from_file(tdf_path)

@@ -1,8 +1,11 @@
 """Ingest: sort/dedup, CSC assembly, normalization semantics."""
 
 import numpy as np
+import pytest
 
 from isle_tpu.corpus import Corpus, EntryFeeder, read_tdf_entries
+
+pytestmark = pytest.mark.quick  # <60s smoke tier
 
 
 def test_sort_dedup_and_csc():

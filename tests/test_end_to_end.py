@@ -11,6 +11,8 @@ from isle_tpu.config import HyperParams, InferConfig, TrainConfig
 from isle_tpu.inferencer import Inferencer
 from isle_tpu.trainer import Trainer
 
+pytestmark = pytest.mark.quick  # <60s smoke tier
+
 
 def planted_corpus(rng, V, D, k, words_per_doc=30):
     """Dominant-admixture corpus: each topic owns a word block; docs draw

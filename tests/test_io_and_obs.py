@@ -4,6 +4,7 @@ and the observability layer."""
 import os
 
 import numpy as np
+import pytest
 
 from isle_tpu import io_text, native
 from isle_tpu.corpus import Corpus
@@ -15,6 +16,8 @@ from isle_tpu.diagnostics import (
 )
 from isle_tpu.obs import Logger, OpCounter, Timer
 from isle_tpu.preprocessed import load_preprocessed, save_preprocessed
+
+pytestmark = pytest.mark.quick  # <60s smoke tier
 
 
 def small_corpus():

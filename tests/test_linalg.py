@@ -315,3 +315,26 @@ def test_duplicate_doc_corpus_gram():
         res.evals[:n_distinct], w_ref[:n_distinct], rtol=1e-4
     )
     np.testing.assert_array_equal(res.evals[n_distinct:], 0.0)
+
+
+def test_warm_start_block_cuts_op_calls():
+    """Restart-warm eigen: seeding with the true eigenvectors converges
+    in the first pass with the same spectrum (linalg._init_block)."""
+    from isle_tpu.linalg import block_ks_device
+
+    rng = np.random.default_rng(5)
+    dim, nev = 400, 12
+    B = jnp.asarray(rng.normal(size=(dim, 64)) *
+                    np.exp(-np.arange(64) / 8.0), jnp.float32)
+    w_ref, U_ref = dense_topk_eigh(np.asarray(B @ B.T, np.float64), nev)
+    # blk >= nev so the whole previous basis fits the start block (the
+    # pipeline case: blk=128 >= k=100)
+    cold = block_ks_device(_low_rank_op(), dim, nev, op_data=B, blk=16,
+                           tol=1e-5, key=jax.random.PRNGKey(0))
+    warm = block_ks_device(_low_rank_op(), dim, nev, op_data=B, blk=16,
+                           tol=1e-5, key=jax.random.PRNGKey(0),
+                           start_block=jnp.asarray(U_ref, jnp.float32))
+    assert warm.nconv == nev
+    np.testing.assert_allclose(warm.evals, w_ref, rtol=1e-4)
+    assert warm.restarts <= cold.restarts
+    assert warm.restarts == 0

@@ -118,3 +118,32 @@ def test_kmeansmcmc_sample_size_plumbed(tmp_path):
     )
     assert not np.array_equal(np.asarray(idx_a), np.asarray(idx_b))
     assert HyperParams().kmeansmcmc_sample_size == 10000
+
+
+def test_eigen_warm_start_trainer(tmp_path):
+    """tpu.eigen_warm_start: a second run in the same output dir seeds the
+    Krylov block from the first run's checkpointed U and reproduces the
+    model (same pipeline, same seed; only the start basis differs)."""
+    from isle_tpu.config import TpuConfig
+
+    rng = np.random.default_rng(2)
+    V, D, k = 60, 240, 4
+    d, w, c = _entries(rng, V, D, k)
+
+    def _train(cfg):
+        tr = Trainer(cfg, output_dir=str(tmp_path), quiet=True)
+        tr.corpus = Corpus.from_entries(d, w, c, vocab_size=V, num_docs=D)
+        tr._post_ingest()
+        tr.train()
+        return tr
+
+    hp = HyperParams(block_ks_block_size=8)
+    cold = _train(TrainConfig(num_topics=k, seed=1, hyper=hp))
+    warm = _train(TrainConfig(
+        num_topics=k, seed=1, hyper=hp,
+        tpu=TpuConfig(eigen_warm_start=True),
+    ))
+    np.testing.assert_allclose(
+        np.sort(warm.evalues), np.sort(cold.evalues), rtol=1e-3
+    )
+    np.testing.assert_allclose(warm.model, cold.model, atol=2e-3)

@@ -134,7 +134,7 @@ def test_edge_topics_match(pair):
 def test_sharded_sampled_training(pair, tmp_path):
     """Importance sampling under the mesh: global pivot semantics."""
     rng = np.random.default_rng(9)
-    V, D, k = 96, 400, 4
+    V, D, k = 96, 200, 4  # shape only needs to exercise the global pivot
     corpus = _synth_corpus(rng, V, D, k)
     hyper = HyperParams(block_ks_block_size=8)
     base = TrainConfig(
@@ -156,7 +156,7 @@ def test_sharded_sampled_training(pair, tmp_path):
 def test_sharded_resume(pair, tmp_path):
     """Stage checkpoints restore in sharded mode too."""
     rng = np.random.default_rng(11)
-    V, D, k = 96, 300, 4
+    V, D, k = 96, 160, 4  # resume is shape-independent; keep it cheap
     corpus = _synth_corpus(rng, V, D, k)
     cfg = TrainConfig(
         num_topics=k, seed=2, hyper=HyperParams(block_ks_block_size=8),

@@ -8,6 +8,8 @@ from isle_tpu.config import HyperParams
 from isle_tpu.thresholds import compute_thresholds_jax, compute_thresholds_np
 from literal_oracle import thresholds_literal
 
+pytestmark = pytest.mark.quick  # <60s smoke tier
+
 
 def make_corpus_vals(rng, vocab, n_entries, max_val):
     words = rng.integers(0, vocab, n_entries).astype(np.int32)

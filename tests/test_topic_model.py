@@ -14,6 +14,8 @@ from isle_tpu.topic_model import (
 )
 from literal_oracle import construct_topic_model_literal
 
+pytestmark = pytest.mark.quick  # <60s smoke tier
+
 
 def make_case(rng, V, D, k, density=0.3):
     mask = rng.random((V, D)) < density
