@@ -705,18 +705,15 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
     streamed corpus passes doc-sharded over the mesh, middle and finish
     reusing the in-core sharded machinery (trainer._train_sharded's
     stages on the streamed-built ShardedDocSparse)."""
-    from .catchwords import catchword_topic_map, find_catchwords
     from .kmeans import kmeans_init_on_projected, run_lloyds_projected
     from .sharding import (
         compact_doc_rows,
         make_mesh,
-        shard_by_word,
         shard_hybrid,
         sharded_gram_x,
         sharded_bt_x,
         sharded_h_bt_x,
         sharded_h_gram_x,
-        sharded_rth_highest,
         sharded_run_lloyds_full,
         sharded_spmm_flops,
     )

@@ -101,8 +101,9 @@ def main():
             print(f"unknown dataset {name}; choices: {sorted(DATASETS)}")
             return 2
         ok &= fetch(name, args.data_dir, checksums)
-    with open(cpath, "w") as f:
-        json.dump(checksums, f, indent=1, sort_keys=True)
+    if checksums:  # only materialize the TOFU store once something is pinned
+        with open(cpath, "w") as f:
+            json.dump(checksums, f, indent=1, sort_keys=True)
     return 0 if ok else 1
 
 
