@@ -143,9 +143,47 @@ def mat_bt_x_blockwise(m, X: jax.Array, doc_block: int = 1 << 18,
 
 
 def mat_to_dense(m):
-    """Densify (tests / dense-oracle paths on small problems only)."""
+    """Densify (tests / dense-oracle paths on small problems only).
+
+    Sharded layouts gather to host and densify in GLOBAL compact doc
+    order (the order of sharding.compact_doc_rows), which is what makes
+    the dense-oracle eigensolver (reference src/sparseMatrix.cpp:1155's
+    full-SVD cross-check) available under mesh training: the oracle is
+    a host float64 eigh, so a host gather is its natural input."""
     import numpy as np
 
+    from .sharding import ShardedDocSparse, ShardedHybrid
+
+    if isinstance(m, ShardedDocSparse):
+        S, dps, V = m.num_shards, m.docs_per_shard, m.vocab
+        valid = m.valid_per_shard()
+        offs = np.concatenate([[0], np.cumsum(valid)]).astype(np.int64)
+        out = np.zeros((V, m.num_docs), np.float32)
+        dw = np.asarray(m.d_word)
+        dd = np.asarray(m.d_doc)
+        dv = np.asarray(m.d_val)
+        for s in range(S):
+            w, d, v = dw[s], dd[s], dv[s]
+            keep = (w < V) & (d < valid[s])
+            np.add.at(out, (w[keep], offs[s] + d[keep]), v[keep])
+        return out
+    if isinstance(m, ShardedHybrid):
+        S, dps, V = m.num_shards, m.docs_per_shard, m.vocab
+        valid = m.valid_per_shard()
+        offs = np.concatenate([[0], np.cumsum(valid)]).astype(np.int64)
+        scale = np.asarray(m.row_scale, np.float32)
+        out = np.zeros((V, m.num_docs), np.float32)
+        td_w = np.asarray(m.td_word)
+        td_d = np.repeat(np.asarray(m.td_odoc), 8, axis=1)
+        head = np.asarray(m.head, np.float32)
+        hw = np.asarray(m.head_words)
+        for s in range(S):
+            w, d = td_w[s], td_d[s]
+            keep = (w < V) & (d < valid[s])
+            np.add.at(out, (w[keep], offs[s] + d[keep]), scale[w[keep]])
+            cols = slice(offs[s], offs[s] + valid[s])
+            out[hw, cols] += head[s][:, : valid[s]] * scale[hw][:, None]
+        return out
     if isinstance(m, HybridSparse):
         from .hybrid import h_to_doc_sparse_vals
 

@@ -728,11 +728,6 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
     key = jax.random.PRNGKey(cfg.seed)
     HI = jax.lax.Precision.HIGHEST
 
-    if hp.kmeans_algo_for_sparse != "lloyds":
-        raise NotImplementedError(
-            f"kmeans_algo_for_sparse={hp.kmeans_algo_for_sparse!r} is "
-            "single-device only; sharded training supports 'lloyds'"
-        )
     n_dev = cfg.tpu.mesh_devices()
     if len(jax.devices()) < n_dev:
         raise RuntimeError(
@@ -838,7 +833,7 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
     else:
         evalues, U, stats = solve_gram_eigens(
             op_gram, V, k, B_op, cfg, sub_eig,
-            timer=t.timer, logger=t.logger, allow_dense=False,
+            timer=t.timer, logger=t.logger,
         )
         if stats is not None:
             res, op_width = stats
@@ -863,9 +858,16 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
         P_mat, centers_lowd, hp.max_kmeans_lowd_reps
     )
     centers_full = jnp.matmul(centers_lowd, U.T, precision=HI)
-    centers_full, assign_h = sharded_run_lloyds_full(
-        B_op, centers_full, hp.max_kmeans_reps, mesh, timer=t.timer
-    )
+    if hp.kmeans_algo_for_sparse == "elkans":
+        from .elkans_sharded import sharded_run_elkans
+
+        centers_full, assign_h = sharded_run_elkans(
+            B_op, centers_full, hp.max_kmeans_reps, mesh, timer=t.timer
+        )
+    else:
+        centers_full, assign_h = sharded_run_lloyds_full(
+            B_op, centers_full, hp.max_kmeans_reps, mesh, timer=t.timer
+        )
     t.evalues = evalues
     t.centers = np.asarray(centers_full)
     t.timer.next("k-means (sharded)")

@@ -53,19 +53,19 @@ def solve_gram_eigens(
     key,
     timer=None,
     logger=None,
-    allow_dense: bool = True,
     start_block=None,
 ):
     """Shared truncated-eigensolver dispatch for B·Bᵀ, honoring
     `hyper.eigensolver` identically across the in-core, sharded, and
     streamed training modes (no silent fallback to the default solver;
     the reference selects its solver once, compile-time, for every path —
-    hyperparams.h:31).
+    hyperparams.h:31). The dense oracle works on every layout —
+    matops.mat_to_dense gathers sharded operands to host, where the
+    float64 eigh runs anyway.
 
     Returns (evalues np.float32[k], U (V, k) jax, stats) where stats is
-    None for the dense oracle and (res, op_width) for iterative solvers.
-    Raises ValueError for unsupported combos (dense on a sharded
-    operator) instead of silently substituting."""
+    None for the dense oracle and (res, op_width) for iterative
+    solvers."""
     hp = cfg.hyper
     eigensolver = hp.eigensolver
     if eigensolver not in ("dense", "block_ks", "lanczos"):
@@ -78,11 +78,6 @@ def solve_gram_eigens(
             )
         eigensolver = "dense"
     if eigensolver == "dense":
-        if not allow_dense:
-            raise ValueError(
-                "eigensolver='dense' needs the whole B on one device; "
-                "unsupported in sharded mode (use block_ks or lanczos)"
-            )
         from .linalg import dense_topk_eigh
         from .matops import mat_to_dense
 
@@ -563,16 +558,6 @@ class Trainer:
         k = cfg.num_topics
         V = self.corpus.vocab_size
         D = self.corpus.num_docs
-        # Elkan's has no sharded form: its win comes from compacting the
-        # flagged-doc set into a dense mini-COO, a data-dependent shape
-        # that cross-shard would force the worst shard's shape on every
-        # device each rep. Error up front rather than silently running
-        # Lloyd's under an "elkans" config.
-        if hp.kmeans_algo_for_sparse != "lloyds":
-            raise NotImplementedError(
-                f"kmeans_algo_for_sparse={hp.kmeans_algo_for_sparse!r} is "
-                "single-device only; sharded training supports 'lloyds'"
-            )
         n_dev = cfg.tpu.mesh_devices()
         if len(jax.devices()) < n_dev:
             raise RuntimeError(
@@ -680,7 +665,6 @@ class Trainer:
                 sub,
                 timer=self.timer,
                 logger=self.logger,
-                allow_dense=False,
             )
             if stats is not None:
                 res, op_width = stats
@@ -725,10 +709,21 @@ class Trainer:
                 B, pad_doc_rows(Wseed, B, mesh), mesh
             ).T
 
-        # 8. Lloyd's on B in the full vocab space (sharded)
-        centers_full, assign_h = sharded_run_lloyds_full(
-            B_op, centers_full, hp.max_kmeans_reps, mesh, timer=self.timer
-        )
+        # 8. k-means on B in the full vocab space (sharded); Elkan's
+        # mini-COO buckets are the cross-shard max per rep (see
+        # elkans_sharded.py)
+        if hp.kmeans_algo_for_sparse == "elkans":
+            from .elkans_sharded import sharded_run_elkans
+
+            centers_full, assign_h = sharded_run_elkans(
+                B_op, centers_full, hp.max_kmeans_reps, mesh,
+                timer=self.timer,
+            )
+        else:
+            centers_full, assign_h = sharded_run_lloyds_full(
+                B_op, centers_full, hp.max_kmeans_reps, mesh,
+                timer=self.timer,
+            )
         self.centers = np.asarray(centers_full)
         self.timer.next("k-means on B (sharded)")
 

@@ -19,11 +19,11 @@ from test_end_to_end import planted_corpus
 # equality/quality tests live in test_sharded_trainer/test_streaming).
 V, D, K = 48, 160, 4
 
-# (mode, eigensolver, kmeans) -> expected exception type, or None = runs
-EXPECTED_ERRORS = {
-    ("sharded", "dense"): ValueError,  # whole-B oracle can't shard
-    ("sharded", "elkans"): NotImplementedError,  # data-dependent shapes
-}
+# (mode, eigensolver, kmeans) -> expected exception type. Empty as of
+# round 4: every combination runs — the sharded dense oracle gathers B
+# to host (matops.mat_to_dense on sharded layouts) and Elkan's runs on
+# the mesh with cross-shard-max mini buckets (elkans_sharded.py).
+EXPECTED_ERRORS = {}
 
 
 @pytest.fixture(scope="module")

@@ -224,3 +224,32 @@ def test_sharded_mwu_compact_upload_matches(pair, monkeypatch):
     np.testing.assert_array_equal(ref[1], got[1])
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(got[2], ref[2], rtol=2e-5, atol=1e-5)
+
+
+def test_sharded_elkans_trainer_matches_single(tmp_path):
+    """End-to-end: Trainer(mesh) with kmeans_algo_for_sparse='elkans'
+    reproduces the single-device Elkan's trainer (memberships exact,
+    centers/model to float tolerance)."""
+    rng = np.random.default_rng(11)
+    V, D, k = 72, 240, 4
+    corpus = _synth_corpus(rng, V, D, k)
+    hyper = HyperParams(
+        block_ks_block_size=8, kmeans_algo_for_sparse="elkans"
+    )
+    base = TrainConfig(num_topics=k, seed=9, hyper=hyper)
+    single = _train(corpus, base, tmp_path, "elk_single")
+    sharded = _train(
+        corpus,
+        dataclasses.replace(base, tpu=TpuConfig(mesh_shape=(8,))),
+        tmp_path,
+        "elk_sharded",
+    )
+    np.testing.assert_array_equal(
+        single.cluster_of_doc, sharded.cluster_of_doc
+    )
+    np.testing.assert_allclose(
+        single.centers, sharded.centers, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        single.model, sharded.model, rtol=1e-4, atol=1e-6
+    )

@@ -190,3 +190,76 @@ def test_sharded_hybrid_lloyds_matches_coo(hybrid_problem):
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_elkans_matches_single(problem):
+    """sharded_run_elkans reproduces the single-device Elkan's fixpoint
+    (same seed centers -> same assignment and centers)."""
+    from isle_tpu.elkans import run_elkans
+    from isle_tpu.elkans_sharded import sharded_run_elkans
+
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    rng = np.random.default_rng(31)
+    k = 4
+    centers = jnp.asarray(rng.standard_normal((k, V)).astype(np.float32))
+    c_ref, a_ref = run_elkans(sp, centers, 12)
+    c_got, a_got = sharded_run_elkans(ssp, centers, 12, mesh)
+    np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+    np.testing.assert_allclose(
+        np.asarray(c_got), np.asarray(c_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_elkans_matches_lloyds_fixpoint(problem):
+    """Same fixpoint as the sharded Lloyd's (up to exact-tie ordering,
+    which random centers make measure-zero)."""
+    from isle_tpu.elkans_sharded import sharded_run_elkans
+    from isle_tpu.sharding import sharded_run_lloyds_full
+
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    rng = np.random.default_rng(33)
+    k = 3
+    centers = jnp.asarray(rng.standard_normal((k, V)).astype(np.float32))
+    c1, a1 = sharded_run_lloyds_full(ssp, centers, 25, mesh)
+    c2, a2 = sharded_run_elkans(ssp, centers, 25, mesh)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_allclose(
+        np.asarray(c1), np.asarray(c2), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_elkans_hybrid_matches_coo(hybrid_problem):
+    """Elkan's on the factored-hybrid sharded layout (dense-head gather
+    in the mini pass) agrees with the COO layout."""
+    from isle_tpu.elkans_sharded import sharded_run_elkans
+
+    sp, ssp, h, mesh, (V, D) = hybrid_problem
+    rng = np.random.default_rng(35)
+    k = 4
+    centers = jnp.asarray(rng.standard_normal((k, V)).astype(np.float32))
+    c1, a1 = sharded_run_elkans(ssp, centers, 12, mesh)
+    c2, a2 = sharded_run_elkans(h, centers, 12, mesh)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_allclose(
+        np.asarray(c1), np.asarray(c2), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_mat_to_dense_sharded_layouts(problem, hybrid_problem):
+    """Host densification of the sharded layouts (the dense-oracle
+    eigensolver's input under mesh training) matches the single-device
+    dense form, in global compact doc order."""
+    from isle_tpu.matops import mat_to_dense
+    from isle_tpu.sparse import to_dense
+
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    np.testing.assert_allclose(
+        mat_to_dense(ssp), np.asarray(to_dense(sp)), rtol=1e-6, atol=1e-6
+    )
+    hsp, hssp, h, _, _ = hybrid_problem
+    np.testing.assert_allclose(
+        mat_to_dense(h), np.asarray(to_dense(hsp)), rtol=1e-2, atol=1e-3
+    )  # bf16 head slab
+    np.testing.assert_allclose(
+        mat_to_dense(hssp), np.asarray(to_dense(hsp)), rtol=1e-6, atol=1e-6
+    )
