@@ -249,3 +249,32 @@ def test_sharded_streamed_checkpoint_resume(corpus_file, trained_trio):
     t2._t.load_data_from_file(tdf)
     t2.train(resume=True)
     np.testing.assert_allclose(t2.model, model_ref, atol=1e-6)
+
+
+def test_sharded_streamed_elkans(corpus_file):
+    """Elkan's routes through the streamed x mesh composition: same
+    cluster memberships as the single-device streamed Elkan's run."""
+    tmp, tdf, V, D, k = corpus_file
+    common = dict(
+        num_topics=k, seed=5,
+        hyper=HyperParams(
+            block_ks_block_size=8, kmeans_algo_for_sparse="elkans"
+        ),
+    )
+    t_st = StreamedTrainer(TrainConfig(**common),
+                           output_dir=str(tmp / "elk_st"),
+                           chunk_entries=1024)
+    t_st._t.load_data_from_file(tdf)
+    t_st.train()
+
+    t_ms = StreamedTrainer(
+        TrainConfig(tpu=TpuConfig(mesh_shape=(8,)), **common),
+        output_dir=str(tmp / "elk_ms"), chunk_entries=1024,
+    )
+    t_ms._t.load_data_from_file(tdf)
+    t_ms.train()
+
+    np.testing.assert_array_equal(
+        t_ms._t.cluster_of_doc, t_st._t.cluster_of_doc
+    )
+    np.testing.assert_allclose(t_ms.model, t_st.model, atol=2e-3)
