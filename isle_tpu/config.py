@@ -154,6 +154,17 @@ class TpuConfig:
     # (benchmarks/micro_head2.py), so the head should be as large as HBM
     # allows; the factored layout stores it at 2 bytes/cell (bf16 binary).
     dense_head_bytes: int = 4096 << 20
+    # Lift the int32 flat-scatter row cap on the dense head (at NYTimes
+    # docs=300k the cap is 7,158 rows, which coincides with the 4 GB
+    # budget's optimum — see TODO.md). When set, head builds whose
+    # (rows+1)*(docs+1) index range exceeds int32 switch to doc-blocked
+    # scatters (hybrid._scatter_head): per column block one extra
+    # nnz-length masked scatter at build time, ops over the head
+    # unchanged. Pays only when the Zipf coverage curve is steep enough
+    # that the extra rows buy real tail shrinkage (measure coverage on
+    # the target corpus first; round-3 arithmetic said a wash at the
+    # synthetic NYT shape). Raise dense_head_bytes together with this.
+    break_head_cap: bool = False
     # NOTE on Pallas: there deliberately is no Pallas kernel knob. The
     # pipeline's hot FLOPs run as MXU matmuls via the hybrid dense-head
     # layout (measured 1.16 TFLOP/s on the SVD operator, BENCH_NOTES.md),

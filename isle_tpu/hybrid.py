@@ -53,8 +53,59 @@ def max_head_rows(num_docs: int) -> int:
 
     Can be < 8 (even 0) for num_docs beyond ~238M — callers must skip the
     hybrid layout then (the old floor of 8 would silently wrap the int32
-    flat index rr*(num_docs+1)+dd and corrupt the head build)."""
+    flat index rr*(num_docs+1)+dd and corrupt the head build). The
+    `break_head_cap` knob (TpuConfig) lifts this limit via the
+    doc-blocked scatter in _scatter_head."""
     return max(_INT32_FLAT_CAP // (num_docs + 1) - 1, 0)
+
+
+def _scatter_head(rr, dd, vals, num_head: int, ncols: int, flat_cap: int):
+    """Scatter nnz-length (rr, dd) pairs into a dense (num_head, ncols)
+    head. Sentinels rr == num_head / dd == ncols land in the sliced-off
+    guard row/column. vals=None builds the bf16 binary occupancy head
+    (factored mode, .set(1)); otherwise a float32 .add(vals) head.
+
+    When (num_head+1)*(ncols+1) exceeds `flat_cap` (the int32 flat-index
+    budget), the scatter is split into COLUMN BLOCKS: each block re-masks
+    the full entry stream to its doc range, scatters with a local flat
+    index rr*(block+1)+local_dd into a (num_head+1, block+1) slab, and
+    dynamic_update_slice's the slab into the head (TODO.md head-cap-break
+    sketch). Ops over the head are unchanged — the cost is one extra
+    nnz-length masked scatter per extra block at build time."""
+    if (num_head + 1) * (ncols + 1) <= flat_cap:
+        flat = rr * jnp.int32(ncols + 1) + dd
+        if vals is None:
+            H = jnp.zeros(((num_head + 1) * (ncols + 1),), jnp.bfloat16)
+            H = H.at[flat].set(jnp.bfloat16(1.0))
+        else:
+            H = jnp.zeros(((num_head + 1) * (ncols + 1),), jnp.float32)
+            H = H.at[flat].add(vals)
+        return H.reshape(num_head + 1, ncols + 1)[:num_head, :ncols]
+
+    block = flat_cap // (num_head + 1) - 1
+    if block < 8:
+        raise ValueError(
+            f"num_head={num_head} leaves a column block < 8 under "
+            f"flat_cap={flat_cap}; shrink the head budget"
+        )
+    nblocks = -(-ncols // block)
+    dtype = jnp.bfloat16 if vals is None else jnp.float32
+    H = jnp.zeros((num_head, nblocks * block), dtype)
+    for b in range(nblocks):  # static unroll: nblocks is 2-4 in practice
+        lo = b * block
+        local = dd - jnp.int32(lo)
+        inb = (local >= 0) & (local < block) & (rr < num_head)
+        rr_b = jnp.where(inb, rr, num_head)
+        dd_b = jnp.where(inb, local, block)
+        flat = rr_b * jnp.int32(block + 1) + dd_b
+        S = jnp.zeros(((num_head + 1) * (block + 1),), dtype)
+        if vals is None:
+            S = S.at[flat].set(jnp.bfloat16(1.0))
+        else:
+            S = S.at[flat].add(vals)
+        S = S.reshape(num_head + 1, block + 1)[:num_head, :block]
+        H = jax.lax.dynamic_update_slice(H, S, (0, lo))
+    return H[:, :ncols]
 
 
 @jax.tree_util.register_dataclass
@@ -143,32 +194,28 @@ def _head_select(sp: DocSparse, num_head: int):
     return head_words, is_head, rank
 
 
-@partial(jax.jit, static_argnames=("num_head", "num_docs"))
-def _build_head(sp: DocSparse, rank, is_head, num_head: int, num_docs: int):
+@partial(jax.jit, static_argnames=("num_head", "num_docs", "flat_cap"))
+def _build_head(sp: DocSparse, rank, is_head, num_head: int, num_docs: int,
+                flat_cap: int = _INT32_FLAT_CAP):
     r = rank[sp.d_word]
     hmask = is_head[sp.d_word]
     rr = jnp.where(hmask, r, num_head)
     dd = jnp.where(hmask, sp.d_doc, num_docs)
-    flat = rr * jnp.int32(num_docs + 1) + dd
-    H = jnp.zeros(((num_head + 1) * (num_docs + 1),), jnp.float32)
-    H = H.at[flat].add(sp.d_val)
-    H = H.reshape(num_head + 1, num_docs + 1)
-    return H[:num_head, :num_docs], hmask.sum()
+    H = _scatter_head(rr, dd, sp.d_val, num_head, num_docs, flat_cap)
+    return H, hmask.sum()
 
 
-@partial(jax.jit, static_argnames=("num_head", "num_docs"))
-def _build_head_binary(sp: DocSparse, rank, is_head, num_head: int, num_docs: int):
+@partial(jax.jit, static_argnames=("num_head", "num_docs", "flat_cap"))
+def _build_head_binary(sp: DocSparse, rank, is_head, num_head: int,
+                       num_docs: int, flat_cap: int = _INT32_FLAT_CAP):
     """Factored mode: bfloat16 occupancy pattern (0/1 exact in bf16),
     built directly in bf16 so no f32-sized temporary ever exists."""
     r = rank[sp.d_word]
     hmask = is_head[sp.d_word]
     rr = jnp.where(hmask, r, num_head)
     dd = jnp.where(hmask, sp.d_doc, num_docs)
-    flat = rr * jnp.int32(num_docs + 1) + dd
-    H = jnp.zeros(((num_head + 1) * (num_docs + 1),), jnp.bfloat16)
-    H = H.at[flat].set(jnp.bfloat16(1.0))
-    H = H.reshape(num_head + 1, num_docs + 1)
-    return H[:num_head, :num_docs], hmask.sum()
+    H = _scatter_head(rr, dd, None, num_head, num_docs, flat_cap)
+    return H, hmask.sum()
 
 
 @partial(jax.jit, static_argnames=("vocab", "num_segments"))
@@ -239,28 +286,43 @@ def to_hybrid(
     num_head: int,
     chunk: int = DEFAULT_CHUNK,
     row_scale: Optional[jax.Array] = None,
+    break_head_cap: bool = False,
+    flat_cap: int = _INT32_FLAT_CAP,
 ) -> HybridSparse:
     """Build the hybrid layout on device from a DocSparse.
 
     With `row_scale` (vocab,) — the per-row constant value, sqrt(zeta)
     for the thresholded B — the factored layout is built instead: bf16
     binary head, no tail value arrays (see HybridSparse docstring). The
-    caller guarantees sp's nonzeros satisfy val == row_scale[word]."""
+    caller guarantees sp's nonzeros satisfy val == row_scale[word].
+
+    `break_head_cap` lifts the int32 flat-scatter row cap via the
+    doc-blocked head scatter (see _scatter_head); `flat_cap` is the
+    index budget (overridable only so tests can force blocking at
+    small shapes)."""
     V, D = sp.vocab, sp.num_docs
-    cap = max_head_rows(D)
-    if cap < 8:
-        raise ValueError(
-            f"num_docs={D} exceeds the int32 flat-scatter head capacity "
-            f"(max_head_rows={cap}); disable the dense head "
-            "(dense_head_bytes=0) or shard the docs axis"
-        )
-    num_head = int(min(num_head, V, cap))
+    cap = max(flat_cap // (D + 1) - 1, 0)
+    if break_head_cap:
+        num_head = int(min(num_head, V))
+    else:
+        if cap < 8:
+            raise ValueError(
+                f"num_docs={D} exceeds the int32 flat-scatter head "
+                f"capacity (max_head_rows={cap}); disable the dense head "
+                "(dense_head_bytes=0), shard the docs axis, or set "
+                "break_head_cap"
+            )
+        num_head = int(min(num_head, V, cap))
     head_words, is_head, rank = _head_select(sp, num_head)
 
     if row_scale is None:
-        head, head_nnz = _build_head(sp, rank, is_head, num_head, D)
+        head, head_nnz = _build_head(
+            sp, rank, is_head, num_head, D, flat_cap
+        )
     else:
-        head, head_nnz = _build_head_binary(sp, rank, is_head, num_head, D)
+        head, head_nnz = _build_head_binary(
+            sp, rank, is_head, num_head, D, flat_cap
+        )
     head_nnz = int(head_nnz)
 
     # Tail plans: sizes need a host sync to fix static shapes.
@@ -558,10 +620,11 @@ def _plans_masked(
 
 
 @partial(jax.jit, static_argnames=("vocab", "num_docs", "num_head",
-                                   "nz_docs"))
+                                   "nz_docs", "flat_cap"))
 def _select_build_plan(
     d_word, d_doc, w_word, w_val, w_doc, zetas, sel_p, keep_d, ndp,
     vocab: int, num_docs: int, num_head: int, nz_docs: int,
+    flat_cap: int = _INT32_FLAT_CAP,
 ):
     """Head selection + head build + both tail pad-plans in ONE program
     (they all run between the nz_docs sync and the tail-size sync; as
@@ -571,7 +634,7 @@ def _select_build_plan(
         w_word, w_val, w_doc, zetas, sel_p, vocab, num_head
     )
     head, head_nnz = _build_head_masked_body(
-        d_word, d_doc, keep_d, rankx, ndp, num_head, nz_docs
+        d_word, d_doc, keep_d, rankx, ndp, num_head, nz_docs, flat_cap
     )
     mask_d = keep_d & ~is_head[d_word]
     mask_w = keep_w & ~is_head[w_word]
@@ -586,28 +649,28 @@ def _select_build_plan(
 
 
 def _build_head_masked_body(
-    word, doc, keep, rankx, ndp, num_head: int, nz_docs: int
+    word, doc, keep, rankx, ndp, num_head: int, nz_docs: int,
+    flat_cap: int = _INT32_FLAT_CAP,
 ):
     r = rankx[word]  # one gather for rank AND head membership
     hmask = keep & (r >= 0)
     rr = jnp.where(hmask, r, num_head)
     dd = jnp.where(hmask, ndp[doc], nz_docs)
-    flat = rr * jnp.int32(nz_docs + 1) + dd
-    H = jnp.zeros(((num_head + 1) * (nz_docs + 1),), jnp.bfloat16)
-    H = H.at[flat].set(jnp.bfloat16(1.0))
-    H = H.reshape(num_head + 1, nz_docs + 1)
-    return H[:num_head, :nz_docs], hmask.sum()
+    H = _scatter_head(rr, dd, None, num_head, nz_docs, flat_cap)
+    return H, hmask.sum()
 
 
 _build_head_masked = partial(
-    jax.jit, static_argnames=("num_head", "nz_docs")
+    jax.jit, static_argnames=("num_head", "nz_docs", "flat_cap")
 )(_build_head_masked_body)
 
 
-@partial(jax.jit, static_argnames=("vocab", "num_docs", "num_head"))
+@partial(jax.jit, static_argnames=("vocab", "num_docs", "num_head",
+                                   "flat_cap"))
 def _select_build_plan_full(
     d_word, d_doc, d_val, w_word, w_val, w_doc, zetas,
     vocab: int, num_docs: int, num_head: int,
+    flat_cap: int = _INT32_FLAT_CAP,
 ):
     """The no-sampling fused build: occupancy + head selection + head
     build + both tail pad-plans in ONE program with ONE host sync
@@ -648,10 +711,7 @@ def _select_build_plan_full(
     rr = jnp.where(hmask, r, num_head)
     ndp = jnp.concatenate([new_doc, jnp.zeros((1,), jnp.int32)])
     dd = jnp.where(hmask, ndp[jnp.minimum(d_doc, D)], D)
-    flat = rr * jnp.int32(D + 1) + dd
-    H = jnp.zeros(((num_head + 1) * (D + 1),), jnp.bfloat16)
-    H = H.at[flat].set(jnp.bfloat16(1.0))
-    head = H.reshape(num_head + 1, D + 1)[:num_head, :D]
+    head = _scatter_head(rr, dd, None, num_head, D, flat_cap)
     head_nnz = hmask.sum()
     # tail plans on RAW ids (renumbering is monotone; see _plans_masked)
     mask_d = keep_d & ~is_head[d_word]
@@ -673,6 +733,8 @@ def hybrid_from_thresholds(
     chunk: int = DEFAULT_CHUNK,
     sample_rate=None,
     key=None,
+    break_head_cap: bool = False,
+    flat_cap: int = _INT32_FLAT_CAP,
 ):
     """B = threshold-and-copy(A, zetas) built DIRECTLY in the factored
     hybrid layout (bmatrix.threshold_and_copy + to_hybrid semantics fused:
@@ -696,21 +758,27 @@ def hybrid_from_thresholds(
         # and the two are identical whenever no doc loses all its entries
         # (the common case; sampling runs keep the nz_docs-exact budget
         # via the two-sync path below).
-        cap = max_head_rows(D)
-        if cap < 8:
-            raise ValueError(
-                f"num_docs={D} exceeds the int32 flat-scatter head "
-                f"capacity (max_head_rows={cap}); disable the dense head "
-                "(dense_head_bytes=0) or shard the docs axis"
+        cap = max(flat_cap // (D + 1) - 1, 0)
+        if break_head_cap:
+            num_head = int(
+                min(V, max(8, head_budget_bytes // max(2 * D, 1)))
             )
-        num_head = int(
-            min(V, max(8, head_budget_bytes // max(2 * D, 1)), cap)
-        )
+        else:
+            if cap < 8:
+                raise ValueError(
+                    f"num_docs={D} exceeds the int32 flat-scatter head "
+                    f"capacity (max_head_rows={cap}); disable the dense "
+                    "head (dense_head_bytes=0), shard the docs axis, or "
+                    "set break_head_cap"
+                )
+            num_head = int(
+                min(V, max(8, head_budget_bytes // max(2 * D, 1)), cap)
+            )
         (head_words, head, head_nnz, occ, new_doc, frob_sq,
          pos_d, Nt_a, off_d, pos_w, Nw_a, off_w,
          tail_nnz) = _select_build_plan_full(
             A.d_word, A.d_doc, A.d_val, A.w_word, A.w_val, A.w_doc,
-            zetas, V, D, num_head,
+            zetas, V, D, num_head, flat_cap,
         )
         # one batched readback (each separate int()/np.asarray pays a
         # ~30 ms tunnel round trip)
@@ -739,16 +807,23 @@ def hybrid_from_thresholds(
         nz_docs = int(jnp.sum(occ))
         original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
 
-        cap = max_head_rows(nz_docs)
-        if cap < 8:
-            raise ValueError(
-                f"nz_docs={nz_docs} exceeds the int32 flat-scatter head "
-                f"capacity (max_head_rows={cap}); disable the dense head "
-                "(dense_head_bytes=0) or shard the docs axis"
+        cap = max(flat_cap // (nz_docs + 1) - 1, 0)
+        if break_head_cap:
+            num_head = int(
+                min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)))
             )
-        num_head = int(
-            min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)), cap)
-        )
+        else:
+            if cap < 8:
+                raise ValueError(
+                    f"nz_docs={nz_docs} exceeds the int32 flat-scatter "
+                    f"head capacity (max_head_rows={cap}); disable the "
+                    "dense head (dense_head_bytes=0), shard the docs "
+                    "axis, or set break_head_cap"
+                )
+            num_head = int(
+                min(V, max(8, head_budget_bytes // max(2 * nz_docs, 1)),
+                    cap)
+            )
         ndp = jnp.concatenate(
             [new_doc, jnp.full((1,), nz_docs, jnp.int32)]
         )
@@ -756,7 +831,7 @@ def hybrid_from_thresholds(
          pos_d, Nt_a, off_d, pos_w, Nw_a, off_w,
          tail_nnz) = _select_build_plan(
             A.d_word, A.d_doc, A.w_word, A.w_val, A.w_doc, zetas, sel_p,
-            keep_d, ndp, V, D, num_head, nz_docs,
+            keep_d, ndp, V, D, num_head, nz_docs, flat_cap,
         )
         Nt = int(Nt_a)
     Nw = int(Nw_a)

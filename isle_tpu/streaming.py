@@ -982,12 +982,14 @@ class StreamedTrainer:
 
                 num_head = min(
                     V, head_budget // max(2 * B.num_docs, 1),
-                    max_head_rows(B.num_docs),
                 )
+                if not cfg.tpu.break_head_cap:
+                    num_head = min(num_head, max_head_rows(B.num_docs))
                 if num_head >= 8:
                     Bh = to_hybrid(
                         B, int(num_head), chunk=cfg.tpu.spmm_chunk,
                         row_scale=jnp.sqrt(zetas),
+                        break_head_cap=cfg.tpu.break_head_cap,
                     )
             t.timer.next("hybrid layout")
 

@@ -331,7 +331,9 @@ class Trainer:
         sample = cfg.sample_rate if cfg.sample_docs else None
         from .hybrid import max_head_rows
 
-        use_hybrid = cfg.tpu.dense_head_bytes > 0 and max_head_rows(D) >= 8
+        use_hybrid = cfg.tpu.dense_head_bytes > 0 and (
+            cfg.tpu.break_head_cap or max_head_rows(D) >= 8
+        )
         if cfg.tpu.dense_head_bytes > 0 and not use_hybrid:
             self.logger.warning(
                 f"num_docs={D} exceeds the int32 flat-scatter head "
@@ -347,6 +349,7 @@ class Trainer:
                 chunk=cfg.tpu.spmm_chunk,
                 sample_rate=sample,
                 key=sub,
+                break_head_cap=cfg.tpu.break_head_cap,
             )
             self.original_cols = original_cols
             self.logger.info(

@@ -172,3 +172,103 @@ def test_fused_builder_matches_unfused():
     np.testing.assert_allclose(
         mat_to_dense(hs), mat_to_dense(hs_ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_blocked_head_scatter_matches_flat():
+    """break_head_cap: a flat_cap small enough to force doc-blocked head
+    scatters (hybrid._scatter_head) must reproduce the single-flat-
+    scatter build exactly, in both general (f32 .add) and factored
+    (bf16 binary) modes, and must lift num_head above the capped value."""
+    import jax.numpy as jnp
+
+    from isle_tpu.matops import mat_to_dense
+
+    rng = np.random.default_rng(21)
+    V, D, num_head = 60, 45, 25
+    sp, w, d, v = make(rng, V, D, 0.25)
+
+    # flat_cap=400: cap = 400//46 - 1 = 7 (< 8, so the unbroken path
+    # refuses), block = 400//26 - 1 = 14 -> 4 doc blocks for 45 docs.
+    flat_cap = 400
+    with pytest.raises(ValueError, match="flat-scatter"):
+        to_hybrid(sp, num_head, chunk=256, flat_cap=flat_cap)
+
+    ref = to_hybrid(sp, num_head, chunk=256)
+    blk = to_hybrid(
+        sp, num_head, chunk=256, break_head_cap=True, flat_cap=flat_cap
+    )
+    assert blk.num_head == ref.num_head == num_head
+    np.testing.assert_array_equal(
+        np.asarray(blk.head), np.asarray(ref.head)
+    )
+    np.testing.assert_allclose(
+        mat_to_dense(blk), mat_to_dense(ref), rtol=0, atol=0
+    )
+
+    # factored mode
+    spc, s = make_row_constant(rng, V, D, 0.3)
+    rs = jnp.asarray(s)
+    ref_f = to_hybrid(spc, num_head, chunk=256, row_scale=rs)
+    blk_f = to_hybrid(
+        spc, num_head, chunk=256, row_scale=rs,
+        break_head_cap=True, flat_cap=flat_cap,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(blk_f.head, dtype=np.float32),
+        np.asarray(ref_f.head, dtype=np.float32),
+    )
+    np.testing.assert_allclose(
+        mat_to_dense(blk_f), mat_to_dense(ref_f), rtol=0, atol=0
+    )
+
+
+def test_fused_builder_break_head_cap():
+    """hybrid_from_thresholds with break_head_cap under a small flat_cap
+    (blocked head scatters in the fused single-sync program AND the
+    sampled two-sync program) matches the default build exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from isle_tpu.hybrid import hybrid_from_thresholds
+    from isle_tpu.matops import mat_to_dense
+
+    rng = np.random.default_rng(31)
+    V, D = 70, 90
+    mask = rng.random((V, D)) < 0.3
+    w, d = np.nonzero(mask)
+    order = np.lexsort((w, d))
+    w, d = w[order], d[order]
+    v = rng.integers(1, 7, len(w)).astype(np.float32)
+    sp = DocSparse.build(w, d, v, V, D, chunk=512)
+    zetas = jnp.asarray(rng.integers(1, 4, V).astype(np.float32))
+    budget = 12 * 2 * D  # 12 head rows; cap at flat_cap=400 is 3 rows
+
+    h_ref, oc_ref, frob_ref = hybrid_from_thresholds(
+        sp, zetas, budget, chunk=512
+    )
+    h, oc, frob = hybrid_from_thresholds(
+        sp, zetas, budget, chunk=512,
+        break_head_cap=True, flat_cap=400,
+    )
+    assert h.num_head == h_ref.num_head == 12
+    np.testing.assert_array_equal(oc, oc_ref)
+    np.testing.assert_array_equal(
+        np.asarray(h.head), np.asarray(h_ref.head)
+    )
+    np.testing.assert_allclose(
+        mat_to_dense(h), mat_to_dense(h_ref), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(frob, frob_ref, rtol=0)
+
+    key = jax.random.PRNGKey(7)
+    hs_ref, ocs_ref, _ = hybrid_from_thresholds(
+        sp, zetas, budget, chunk=512, sample_rate=0.5, key=key
+    )
+    hs, ocs, _ = hybrid_from_thresholds(
+        sp, zetas, budget, chunk=512, sample_rate=0.5, key=key,
+        break_head_cap=True, flat_cap=400,
+    )
+    np.testing.assert_array_equal(ocs, ocs_ref)
+    np.testing.assert_allclose(
+        mat_to_dense(hs), mat_to_dense(hs_ref), rtol=0, atol=0
+    )
