@@ -38,6 +38,7 @@ from .sharding import (
     ShardedDocSparse,
     ShardedHybrid,
     _doc_flat_index,
+    _cached_step,
     _local_b_y_partial,
     _local_bt_x,
     _local_h_b_y_partial,
@@ -85,7 +86,8 @@ def _local_center_update(sp, by_arrays, onehot, k):
     psums. Mirrors make_sharded_lloyds_step's update."""
     if isinstance(sp, ShardedHybrid):
         head, tw_d, tw_o = by_arrays
-        return _local_h_b_y_partial(sp, head[0], tw_d[0], tw_o[0], onehot)
+        return _local_h_b_y_partial(head[0], tw_d[0], tw_o[0], onehot,
+                                    sp.row_scale, sp.head_words, sp.vocab)
     ww, wd, wv = by_arrays
     return _local_b_y_partial(ww, wd, wv, onehot, sp.vocab)
 
@@ -102,7 +104,9 @@ def make_elkans_init(sp, mesh: Mesh, k: int):
             dl2, nzd_s, centers = args[-3:]
             if isinstance(sp, ShardedHybrid):
                 head, td_w, td_o = bt
-                dots = _local_h_bt_x(sp, head[0], td_w[0], td_o[0], centers.T)
+                dots = _local_h_bt_x(head[0], td_w[0], td_o[0], centers.T,
+                                     sp.row_scale, sp.head_words,
+                                     sp.vocab, dps)
             else:
                 dw, dd, dv = bt
                 dots = _local_bt_x(dw, dd, dv, centers.T, dps)[0]
@@ -129,7 +133,9 @@ def make_elkans_init(sp, mesh: Mesh, k: int):
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         )(*bt_ops, docs_l2, nzd, centers)
 
-    return jax.jit(init)
+    return _cached_step(
+        ("elkans_init", type(sp).__name__, sp.vocab, dps, k, mesh),
+        lambda: jax.jit(init))
 
 
 def make_elkans_step(sp, mesh: Mesh, k: int):
@@ -190,7 +196,9 @@ def make_elkans_step(sp, mesh: Mesh, k: int):
             out_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         )(*ent_ops, *by_ops, assign, ub, lb, nzd, centers_old)
 
-    return jax.jit(step)
+    return _cached_step(
+        ("elkans_step", type(sp).__name__, sp.vocab, dps, k, mesh),
+        lambda: jax.jit(step))
 
 
 def make_elkans_mini(sp, mesh: Mesh, k: int, m_docs: int, m_entries: int):
@@ -283,7 +291,10 @@ def make_elkans_mini(sp, mesh: Mesh, k: int, m_docs: int, m_entries: int):
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         )(*all_ops, flagged, centers, docs_l2, assign, ub, lb)
 
-    return jax.jit(mini)
+    return _cached_step(
+        ("elkans_mini", type(sp).__name__, V, dps, k, m_docs, m_entries,
+         mesh),
+        lambda: jax.jit(mini))
 
 
 def sharded_run_elkans(

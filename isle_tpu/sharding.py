@@ -43,6 +43,51 @@ def _pvary(x, axis: str = AXIS):
     return jax.lax.pcast(x, axis, to="varying")
 
 
+_SM_JIT_CACHE: dict = {}
+
+
+def _sm(key, build, mesh, in_specs, out_specs):
+    """Cached jax.jit(jax.shard_map(...)) — the mesh stages' dispatch path.
+
+    Eager shard_map executes its body one primitive at a time: every op
+    becomes its own mini-program + per-device dispatch (hundreds per
+    stage), which the persistent compile cache cannot amortize and which
+    costs a host round trip per op on a tunnel-attached backend
+    (measured: the tiny config-matrix sharded train spent 16 s in the
+    eager hybrid build alone, identical run to run). Jitting the
+    shard_map makes each stage ONE compiled, cacheable program.
+
+    jax.jit caches on function identity, and both the shard-mapped
+    closure and the shard_map wrapper are fresh objects at every call —
+    so the jitted callable itself is cached here, keyed by `key` + mesh
+    + specs. `key` MUST name the builder and every value its closure
+    captures (shapes/dtypes are handled by jit's own cache); an
+    incomplete key silently reuses a program with stale constants.
+    `build` is a zero-arg callable returning the shard-mapped fn,
+    invoked only on cache miss. Arrays must be passed as shard_map
+    arguments, never closed over (closed-over arrays bake into the HLO
+    as constants — the remote compile service rejects >~64 MB bodies)."""
+    k = (key, mesh, in_specs, out_specs)
+    got = _SM_JIT_CACHE.get(k)
+    if got is None:
+        got = jax.jit(jax.shard_map(
+            build(), mesh=mesh, in_specs=in_specs, out_specs=out_specs
+        ))
+        _SM_JIT_CACHE[k] = got
+    return got
+
+
+def _cached_step(key, build):
+    """Cache for jitted multi-shard_map step functions (Lloyd's/Elkan's
+    iteration bodies): jax.jit caches on function identity, so a step
+    rebuilt per trainer recompiles per trainer. Key rules as in _sm."""
+    got = _SM_JIT_CACHE.get(key)
+    if got is None:
+        got = build()
+        _SM_JIT_CACHE[key] = got
+    return got
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -281,8 +326,10 @@ def sharded_thresholds(
         )
         return zeta[None].astype(jnp.float32), nnz_w[None]
 
-    zl, nnzl = jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P(AXIS))
+    zl, nnzl = _sm(
+        ("model_thresholds", wps, F, count_gr, count_eq,
+         hyper.few_samples_threshold_drop, hyper.bad_threshold_drop),
+        lambda: f, mesh, (P(AXIS), P(AXIS)), (P(AXIS), P(AXIS)),
     )(ws.w_word, ws.w_val)
     zl = np.asarray(zl)
     nnzl = np.asarray(nnzl)
@@ -363,11 +410,9 @@ def sharded_rth_highest(
         thr = jnp.where(degenerate, gmin, thr)
         return thr.T[None].astype(jnp.float32)  # (1, k, wps)
 
-    tl = jax.shard_map(
-        f,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
-        out_specs=P(AXIS),
+    tl = _sm(
+        ("rth_highest", wps, k, r), lambda: f, mesh,
+        (P(AXIS), P(AXIS), P(AXIS), P(), P()), P(AXIS),
     )(ws.w_word, ws.w_doc, ws.w_val, cl, csz)
     tl = np.asarray(tl)  # (S, k, wps)
     out = np.zeros((k, ws.vocab), np.float32)
@@ -397,11 +442,9 @@ def sharded_bt_x(ssp: ShardedDocSparse, X: jax.Array, mesh: Mesh) -> jax.Array:
     def f(word, doc, val, X):
         return _local_bt_x(word, doc, val, X, dps)
 
-    return jax.shard_map(
-        f,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=P(AXIS),
+    return _sm(
+        ("bt_x", dps), lambda: f, mesh,
+        (P(AXIS), P(AXIS), P(AXIS), P()), P(AXIS),
     )(ssp.d_word, ssp.d_doc, ssp.d_val, X)
 
 
@@ -414,11 +457,9 @@ def sharded_b_y(ssp: ShardedDocSparse, Y: jax.Array, mesh: Mesh) -> jax.Array:
         part = _local_b_y_partial(word, doc, val, Y[0], vocab)
         return jax.lax.psum(part, AXIS)
 
-    return jax.shard_map(
-        f,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(),
+    return _sm(
+        ("b_y", vocab), lambda: f, mesh,
+        (P(AXIS), P(AXIS), P(AXIS), P(AXIS)), P(),
     )(ssp.w_word, ssp.w_doc, ssp.w_val, Y)
 
 
@@ -432,11 +473,9 @@ def sharded_gram_x(ssp: ShardedDocSparse, X: jax.Array, mesh: Mesh) -> jax.Array
         part = _local_b_y_partial(ww, wd, wv, local[0], vocab)
         return jax.lax.psum(part, AXIS)
 
-    return jax.shard_map(
-        f,
-        mesh=mesh,
-        in_specs=(P(AXIS),) * 6 + (P(),),
-        out_specs=P(),
+    return _sm(
+        ("gram_x", vocab, dps), lambda: f, mesh,
+        (P(AXIS),) * 6 + (P(),), P(),
     )(ssp.d_word, ssp.d_doc, ssp.d_val, ssp.w_word, ssp.w_doc, ssp.w_val, X)
 
 
@@ -492,7 +531,8 @@ def sharded_train_step(ssp: ShardedDocSparse, mesh: Mesh, num_topics: int):
         )
         return Y, assign, new_centers, h
 
-    return jax.jit(step)
+    return _cached_step(("train_step", vocab, dps, k, mesh),
+                        lambda: jax.jit(step))
 
 
 # ---------------------------------------------------------------------------
@@ -574,8 +614,9 @@ def sharded_threshold_and_copy(
             )[:dps]
             return wt[None]
 
-        wt = jax.shard_map(
-            wt_f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),), out_specs=P(AXIS)
+        wt = _sm(
+            ("tc_weights", dps), lambda: wt_f, mesh,
+            (P(AXIS),) * 3 + (P(),), P(AXIS),
         )(ssp.d_word, ssp.d_doc, ssp.d_val, zetas)
         w_glob = compact_doc_rows(wt[..., None], ssp)[:, 0]  # (D,)
         u = jax.random.uniform(key, (D,), dtype=jnp.float32)
@@ -612,11 +653,9 @@ def sharded_threshold_and_copy(
         )
         return occ[None], jnp.sum(keep.astype(jnp.int32))[None]
 
-    occ, kept = jax.shard_map(
-        occ_f,
-        mesh=mesh,
-        in_specs=(P(AXIS),) * 4 + (P(),),
-        out_specs=(P(AXIS), P(AXIS)),
+    occ, kept = _sm(
+        ("tc_occupancy", dps), lambda: occ_f, mesh,
+        (P(AXIS),) * 4 + (P(),), (P(AXIS), P(AXIS)),
     )(ssp.d_word, ssp.d_doc, ssp.d_val, sel_p, zetas)
     occ = np.array(occ)  # (S, dps), writable copy
     kept = np.asarray(kept)  # (S,)
@@ -660,16 +699,14 @@ def sharded_threshold_and_copy(
         )
         return out_w[None], out_d[None], out_v[None]
 
-    cmp = partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(AXIS),) * 5 + (P(),),
-        out_specs=(P(AXIS),) * 3,
+    cmp = _sm(
+        ("tc_compact", V, dps_B, n_pad_B), lambda: compact_f, mesh,
+        (P(AXIS),) * 5 + (P(),), (P(AXIS),) * 3,
     )
-    dw, dd, dv = cmp(compact_f)(
+    dw, dd, dv = cmp(
         ssp.d_word, ssp.d_doc, ssp.d_val, sel_p, renum_d, zetas
     )
-    ww, wd, wv = cmp(compact_f)(
+    ww, wd, wv = cmp(
         ssp.w_word, ssp.w_doc, ssp.w_val, sel_p, renum_d, zetas
     )
 
@@ -702,10 +739,11 @@ def sharded_doc_l2sq(ssp, mesh: Mesh) -> jax.Array:
         V = ssp.vocab
         s2 = ssp.row_scale * ssp.row_scale
         s2p = jnp.concatenate([s2, jnp.zeros((1,), jnp.float32)])
+        s2h = jnp.take(s2, ssp.head_words, axis=0)  # (R,) head row scales
 
-        def fh(head, td_w, td_o, s2, s2p):
+        def fh(head, td_w, td_o, s2h, s2p):
             head_l2 = jax.lax.dot_general(
-                head[0], s2[ssp.head_words][:, None],
+                head[0], s2h[:, None],
                 (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,  # see hybrid._head_dot
                 preferred_element_type=jnp.float32,
@@ -717,10 +755,10 @@ def sharded_doc_l2sq(ssp, mesh: Mesh) -> jax.Array:
             ].add(octs, indices_are_sorted=True)
             return (head_l2 + tail[:dps])[None]
 
-        return jax.shard_map(
-            fh, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(), P()),
-            out_specs=P(AXIS),
-        )(ssp.head, ssp.td_word, ssp.td_odoc, s2, s2p)
+        return _sm(
+            ("h_doc_l2sq", dps, V), lambda: fh, mesh,
+            (P(AXIS),) * 3 + (P(), P()), P(AXIS),
+        )(ssp.head, ssp.td_word, ssp.td_odoc, s2h, s2p)
 
     def f(doc, val):
         out = jax.ops.segment_sum(
@@ -728,8 +766,8 @@ def sharded_doc_l2sq(ssp, mesh: Mesh) -> jax.Array:
         )[:dps]
         return out[None]
 
-    return jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)
+    return _sm(
+        ("doc_l2sq", dps), lambda: f, mesh, (P(AXIS), P(AXIS)), P(AXIS),
     )(ssp.d_doc, ssp.d_val)
 
 
@@ -739,8 +777,11 @@ def make_sharded_h_lloyds_step(h, mesh: Mesh, k: int):
     vocab, dps = h.vocab, h.docs_per_shard
 
     def step(h, centers, docs_l2, nzd):
+        rs, hw = h.row_scale, h.head_words
+
         def f(head, td_w, td_o, tw_d, tw_o, dl2, nzd_s, centers):
-            dots = _local_h_bt_x(h, head[0], td_w[0], td_o[0], centers.T)
+            dots = _local_h_bt_x(head[0], td_w[0], td_o[0], centers.T,
+                                 rs, hw, vocab, dps)
             c_l2 = jnp.sum(centers * centers, axis=1)
             dist = dl2[0][:, None] + c_l2[None, :] - 2.0 * dots
             assign = jnp.argmin(dist, axis=1).astype(jnp.int32)
@@ -751,7 +792,8 @@ def make_sharded_h_lloyds_step(h, mesh: Mesh, k: int):
             onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
             onehot = onehot * valid[:, None].astype(jnp.float32)
             sums = jax.lax.psum(
-                _local_h_b_y_partial(h, head[0], tw_d[0], tw_o[0], onehot),
+                _local_h_b_y_partial(head[0], tw_d[0], tw_o[0], onehot,
+                                     rs, hw, vocab),
                 AXIS,
             )
             counts = jax.lax.psum(jnp.sum(onehot, axis=0), AXIS)
@@ -771,7 +813,8 @@ def make_sharded_h_lloyds_step(h, mesh: Mesh, k: int):
             docs_l2, nzd, centers,
         )
 
-    return jax.jit(step)
+    return _cached_step(("h_lloyds_step", vocab, dps, k, mesh),
+                        lambda: jax.jit(step))
 
 
 def make_sharded_lloyds_step(ssp: ShardedDocSparse, mesh: Mesh, k: int):
@@ -815,7 +858,8 @@ def make_sharded_lloyds_step(ssp: ShardedDocSparse, mesh: Mesh, k: int):
             docs_l2, nzd, centers,
         )
 
-    return jax.jit(step)
+    return _cached_step(("lloyds_step", vocab, dps, k, mesh),
+                        lambda: jax.jit(step))
 
 
 def sharded_run_lloyds_full(
@@ -871,8 +915,9 @@ def sharded_doc_topic_mass(
         ].add(jnp.where(is_cw, dv[0], 0.0))
         return acc.reshape(dps + 1, k)[None, :dps]
 
-    return jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),), out_specs=P(AXIS)
+    return _sm(
+        ("doc_topic_mass", dps, k), lambda: f, mesh,
+        (P(AXIS),) * 3 + (P(),), P(AXIS),
     )(ssp.d_word, ssp.d_doc, ssp.d_val, cw_topic)
 
 
@@ -952,8 +997,8 @@ def shard_hybrid(
         )[:V]
         return jax.lax.psum(c, AXIS)
 
-    counts = jax.shard_map(
-        counts_f, mesh=mesh, in_specs=(P(AXIS),), out_specs=P()
+    counts = _sm(
+        ("sh_counts", V), lambda: counts_f, mesh, (P(AXIS),), P(),
     )(ssp.w_word)
     num_head = int(min(
         V, max(8, head_budget_bytes // max(2 * dps * S, 1)),
@@ -975,9 +1020,9 @@ def shard_hybrid(
         return (jnp.sum(padded_d)[None], jnp.sum(padded_w)[None],
                 jnp.sum(mask_d.astype(jnp.int32))[None])
 
-    nts, nws, tails = jax.shard_map(
-        plan_f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),),
-        out_specs=(P(AXIS),) * 3,
+    nts, nws, tails = _sm(
+        ("sh_plan", V, dps), lambda: plan_f, mesh,
+        (P(AXIS),) * 3 + (P(),), (P(AXIS),) * 3,
     )(ssp.d_word, ssp.d_doc, ssp.w_word, is_head)
     Nt = int(np.asarray(nts).max(initial=0))
     Nw = int(np.asarray(nws).max(initial=0))
@@ -1013,9 +1058,9 @@ def shard_hybrid(
         tw_o = _oseg_from_offsets(off_w, Nw_pad)
         return H[None], td_w[None], td_o[None], tw_d[None], tw_o[None]
 
-    head, td_word, td_odoc, tw_doc, tw_oword = jax.shard_map(
-        build_f, mesh=mesh, in_specs=(P(AXIS),) * 4 + (P(), P()),
-        out_specs=(P(AXIS),) * 5,
+    head, td_word, td_odoc, tw_doc, tw_oword = _sm(
+        ("sh_build", V, dps, num_head, Nt_pad, Nw_pad), lambda: build_f,
+        mesh, (P(AXIS),) * 4 + (P(), P()), (P(AXIS),) * 5,
     )(ssp.d_word, ssp.d_doc, ssp.w_word, ssp.w_doc, is_head, rankx)
 
     return ShardedHybrid(
@@ -1034,14 +1079,14 @@ def shard_hybrid(
     )
 
 
-def _local_h_bt_x(h: ShardedHybrid, head, td_w, td_o, X):
+def _local_h_bt_x(head, td_w, td_o, X, row_scale, head_words,
+                  vocab: int, dps: int):
     """Per-shard B^T X block (local docs; X replicated). All operands are
-    the shard-local (unbatched) arrays."""
+    the shard-local (unbatched) arrays; row_scale/head_words replicated."""
     from .hybrid import _tail_gather_octsum
 
-    dps = h.docs_per_shard
-    Xs = X[: h.vocab] * h.row_scale[:, None]
-    Xh = Xs[h.head_words]  # (R, W)
+    Xs = X[:vocab] * row_scale[:, None]
+    Xh = jnp.take(Xs, head_words, axis=0)  # (R, W)
     out_head = jax.lax.dot_general(
         head, Xh, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,  # see hybrid._head_dot
@@ -1053,57 +1098,68 @@ def _local_h_bt_x(h: ShardedHybrid, head, td_w, td_o, X):
     return tail[:dps] + out_head
 
 
-def _local_h_b_y_partial(h: ShardedHybrid, head, tw_d, tw_o, Y):
+def _local_h_b_y_partial(head, tw_d, tw_o, Y, row_scale, head_words,
+                         vocab: int):
     """Per-shard partial of B Y (psum across shards recovers the full
     (vocab, W) product). Y is the shard's local (dps, W) block."""
     from .hybrid import _tail_gather_octsum
 
-    V = h.vocab
+    V = vocab
     chunk = min(1 << 18, tw_d.shape[0])
     init = _pvary(jnp.zeros((V + 1, Y.shape[1]), Y.dtype))
     out = _tail_gather_octsum(tw_d, None, tw_o, Y, V, chunk, init=init)[:V]
-    out = out * h.row_scale[:, None]
+    out = out * row_scale[:, None]
     head_out = jax.lax.dot_general(
         head, Y, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,  # see hybrid._head_dot
         preferred_element_type=jnp.float32,
     )
-    head_out = head_out * h.row_scale[h.head_words][:, None]
-    return out.at[h.head_words].add(head_out)
+    head_out = head_out * jnp.take(row_scale, head_words)[:, None]
+    return out.at[head_words].add(head_out)
 
 
 def sharded_h_bt_x(h: ShardedHybrid, X: jax.Array, mesh: Mesh) -> jax.Array:
     """(S, dps, W) doc-sharded B^T X; X replicated."""
+    V, dps = h.vocab, h.docs_per_shard
 
-    def f(head, td_w, td_o, X):
-        return _local_h_bt_x(h, head[0], td_w[0], td_o[0], X)[None]
+    def f(head, td_w, td_o, X, rs, hw):
+        return _local_h_bt_x(head[0], td_w[0], td_o[0], X, rs, hw,
+                             V, dps)[None]
 
-    return jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS),) * 3 + (P(),), out_specs=P(AXIS)
-    )(h.head, h.td_word, h.td_odoc, X)
+    return _sm(
+        ("h_bt_x", V, dps), lambda: f, mesh,
+        (P(AXIS),) * 3 + (P(), P(), P()), P(AXIS),
+    )(h.head, h.td_word, h.td_odoc, X, h.row_scale, h.head_words)
 
 
 def sharded_h_b_y(h: ShardedHybrid, Y: jax.Array, mesh: Mesh) -> jax.Array:
     """Y: (S, dps, W) doc-sharded -> (vocab, W) replicated via psum."""
+    V = h.vocab
 
-    def f(head, tw_d, tw_o, Y):
-        part = _local_h_b_y_partial(h, head[0], tw_d[0], tw_o[0], Y[0])
+    def f(head, tw_d, tw_o, Y, rs, hw):
+        part = _local_h_b_y_partial(head[0], tw_d[0], tw_o[0], Y[0],
+                                    rs, hw, V)
         return jax.lax.psum(part, AXIS)
 
-    return jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=P()
-    )(h.head, h.tw_doc, h.tw_oword, Y)
+    return _sm(
+        ("h_b_y", V), lambda: f, mesh,
+        (P(AXIS),) * 4 + (P(), P()), P(),
+    )(h.head, h.tw_doc, h.tw_oword, Y, h.row_scale, h.head_words)
 
 
 def sharded_h_gram_x(h: ShardedHybrid, X: jax.Array, mesh: Mesh) -> jax.Array:
     """(B B^T) X on the mesh with the factored-hybrid engine — head
     products on the MXU, one psum per product."""
+    V, dps = h.vocab, h.docs_per_shard
 
-    def f(head, td_w, td_o, tw_d, tw_o, X):
-        local = _local_h_bt_x(h, head[0], td_w[0], td_o[0], X)
-        part = _local_h_b_y_partial(h, head[0], tw_d[0], tw_o[0], local)
+    def f(head, td_w, td_o, tw_d, tw_o, X, rs, hw):
+        local = _local_h_bt_x(head[0], td_w[0], td_o[0], X, rs, hw, V, dps)
+        part = _local_h_b_y_partial(head[0], tw_d[0], tw_o[0], local,
+                                    rs, hw, V)
         return jax.lax.psum(part, AXIS)
 
-    return jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS),) * 5 + (P(),), out_specs=P()
-    )(h.head, h.td_word, h.td_odoc, h.tw_doc, h.tw_oword, X)
+    return _sm(
+        ("h_gram_x", V, dps), lambda: f, mesh,
+        (P(AXIS),) * 5 + (P(), P(), P()), P(),
+    )(h.head, h.td_word, h.td_odoc, h.tw_doc, h.tw_oword, X,
+      h.row_scale, h.head_words)

@@ -39,7 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .corpus import Corpus
-from .sharding import AXIS, ShardedDocSparse, _pvary
+from .sharding import AXIS, ShardedDocSparse, _pvary, _sm
 from .thresholds import freq_bound, _zeta_from_hist
 
 
@@ -256,8 +256,8 @@ def sharded_streamed_thresholds(
     def reduce_f(hist):
         return jax.lax.psum(hist[0], AXIS)
 
-    h = jax.shard_map(reduce_f, mesh=mesh, in_specs=(P(AXIS),),
-                      out_specs=P())(hist)
+    h = _sm(("ss_hist_reduce",), lambda: reduce_f, mesh, (P(AXIS),),
+            P())(hist)
     h = h.reshape(V + 1, nbanks * 128)[:V, : F + 1].astype(jnp.int32)
     h = h.at[:, 0].set(0)
     zeta, nnz_w = _zeta_from_hist(
@@ -413,9 +413,9 @@ def sharded_streamed_build_b(
         ww, wd, wv = jax.lax.sort((ow[0], od[0], ov[0]), num_keys=2)
         return ww[None], wd[None], wv[None]
 
-    ww, wd, wv = jax.shard_map(
-        sort_f, mesh=mesh, in_specs=(P(AXIS),) * 3,
-        out_specs=(P(AXIS),) * 3,
+    ww, wd, wv = _sm(
+        ("ss_sort3",), lambda: sort_f, mesh, (P(AXIS),) * 3,
+        (P(AXIS),) * 3,
     )(ow, od, ov)
 
     prefix = np.concatenate([[0], np.cumsum(nzd)[:-1]]).astype(np.int32)
@@ -590,8 +590,9 @@ def sharded_model_thresholds(
         thr = jnp.where(pos_counts >= rank_threshold, thr, 0.0)
         return jnp.where(has_cw, thr, 0.0)
 
-    return jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(),
+    return _sm(
+        ("ss_model_thr", rank_threshold), lambda: f, mesh,
+        (P(AXIS), P()), P(),
     )(mass, has_catchwords)
 
 
@@ -633,8 +634,8 @@ def sharded_streamed_model(
     def reduce_f(model):
         return jax.lax.psum(model[0], AXIS)
 
-    m = jax.shard_map(reduce_f, mesh=mesh, in_specs=(P(AXIS),),
-                      out_specs=P())(model)[:V]
+    m = _sm(("ss_model_reduce",), lambda: reduce_f, mesh, (P(AXIS),),
+            P())(model)[:V]
     sums = jnp.sum(m, axis=0)
     return jnp.where(sums[None, :] != 0.0, m / sums[None, :], m)
 
@@ -657,8 +658,8 @@ def sharded_top_two_topics(mass: jax.Array, loader: ShardedResidentLoader):
         return (t1.astype(jnp.int32)[None], t2.astype(jnp.int32)[None],
                 valid[None])
 
-    t1, t2, valid = jax.shard_map(
-        f, mesh=mesh, in_specs=(P(AXIS),), out_specs=(P(AXIS),) * 3,
+    t1, t2, valid = _sm(
+        ("ss_top2", k), lambda: f, mesh, (P(AXIS),), (P(AXIS),) * 3,
     )(mass)
     flat = _flat_doc_index(D, S, dps)
     pick = (flat // dps) * (dps + 1) + (flat % dps)

@@ -299,3 +299,35 @@ def test_trainer_cross_layout_agreement(tmp_path):
     np.testing.assert_allclose(
         models[0][0], models[1][0], rtol=1e-4, atol=1e-6
     )
+
+
+def test_trainer_break_head_cap_wiring(tmp_path):
+    """TpuConfig.break_head_cap threads through the in-core trainer: at a
+    shape where the int32 cap does not bind, the flag is a bit-exact
+    no-op (same num_head => same model/clusters/spectrum); the blocked-
+    scatter equality itself is pinned at unit level in test_hybrid."""
+    from isle_tpu.config import HyperParams, TpuConfig, TrainConfig
+    from isle_tpu.trainer import Trainer
+    from test_end_to_end import planted_corpus
+
+    rng = np.random.default_rng(43)
+    V, D, k = 60, 300, 4
+    text, _ = planted_corpus(rng, V, D, k)
+    tdf = tmp_path / "c.tdf"
+    tdf.write_text(text)
+
+    models = []
+    for flag in (False, True):
+        cfg = TrainConfig(
+            num_topics=k, seed=0,
+            hyper=HyperParams(block_ks_block_size=8),
+            tpu=TpuConfig(break_head_cap=flag),
+        )
+        tr = Trainer(
+            cfg, output_dir=str(tmp_path / f"cb{int(flag)}"), quiet=True
+        )
+        tr.load_data_from_file(str(tdf))
+        tr.train()
+        models.append((tr.model, tr.cluster_of_doc))
+    np.testing.assert_array_equal(models[0][1], models[1][1])
+    np.testing.assert_array_equal(models[0][0], models[1][0])
