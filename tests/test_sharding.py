@@ -98,6 +98,31 @@ def test_sharded_thresholds_matches_single(problem):
     assert nnz == nnz_ref
 
 
+def test_sharded_thresholds_drop_flags(problem):
+    """Flipping the threshold-drop flags IN THE SAME PROCESS must change
+    the mesh thresholds and match the single-device frontend. Guards the
+    sharding._sm cache key: an under-keyed cached program would silently
+    reuse the unflagged constants (the flags are baked into the compiled
+    stage)."""
+    from isle_tpu.config import HyperParams
+    from isle_tpu.sharding import shard_by_word, sharded_thresholds
+    from isle_tpu.thresholds import compute_thresholds_np
+
+    sp, ssp, mesh, (w, d, v, V, D) = problem
+    avg, nz, k = 6.0, D, 3
+    ws = shard_by_word(w, d, v, V, D, mesh, pad_multiple=64)
+    base, _ = sharded_thresholds(ws, avg, nz, k, HyperParams(), mesh)
+    for hp in (
+        HyperParams(few_samples_threshold_drop=True),
+        HyperParams(bad_threshold_drop=True),
+    ):
+        zetas, nnz = sharded_thresholds(ws, avg, nz, k, hp, mesh)
+        z_ref, nnz_ref = compute_thresholds_np(w, v, V, avg, nz, k, hp)
+        np.testing.assert_array_equal(zetas, z_ref)
+        assert nnz == nnz_ref
+        assert not np.array_equal(zetas, base)
+
+
 def test_sharded_rth_matches_single(problem):
     from isle_tpu.catchwords import rth_highest
     from isle_tpu.sharding import shard_by_word, sharded_rth_highest
