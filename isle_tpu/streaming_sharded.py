@@ -30,7 +30,6 @@ per shard, S times looser).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
