@@ -48,6 +48,19 @@ DEFAULT_CHUNK = 1 << 21
 _INT32_FLAT_CAP = (1 << 31) - (1 << 20)
 
 
+def row_scale_from_zetas(zetas) -> jax.Array:
+    """sqrt(zeta) per word with the drop sentinel neutralized. The
+    few_samples/bad_threshold drop flags (hyperparams.h:14-25) mark
+    dropped words with zeta=+inf (thresholds.py); such words keep ZERO
+    entries, so their factored row scale never multiplies a real value —
+    but sqrt(inf)=inf poisons the dense-head products when a dropped
+    word is top_k-selected into the head (Xs = X * row_scale has an inf
+    row; the bf16 binary head row is all-zero, and 0 * inf = NaN in the
+    MXU dot). Neutralize to 0: a zero-nnz row contributes exactly 0."""
+    z = jnp.asarray(zetas, jnp.float32)
+    return jnp.sqrt(jnp.where(jnp.isfinite(z), z, 0.0))
+
+
 def max_head_rows(num_docs: int) -> int:
     """Largest head row count whose flat scatter index stays in int32.
 
@@ -855,7 +868,7 @@ def hybrid_from_thresholds(
         tw_doc=tw_doc,
         tw_val=None,
         tw_oword=tw_oword,
-        row_scale=jnp.sqrt(zetas),
+        row_scale=row_scale_from_zetas(zetas),
         vocab=V,
         num_docs=nz_docs,
         nnz=nnz,

@@ -986,9 +986,11 @@ class StreamedTrainer:
                 if not cfg.tpu.break_head_cap:
                     num_head = min(num_head, max_head_rows(B.num_docs))
                 if num_head >= 8:
+                    from .hybrid import row_scale_from_zetas
+
                     Bh = to_hybrid(
                         B, int(num_head), chunk=cfg.tpu.spmm_chunk,
-                        row_scale=jnp.sqrt(zetas),
+                        row_scale=row_scale_from_zetas(zetas),
                         break_head_cap=cfg.tpu.break_head_cap,
                     )
             t.timer.next("hybrid layout")

@@ -814,8 +814,10 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
     op_gram = lambda B_, X: sharded_gram_x(B_, X, mesh)
     op_bt_x = lambda B_, U_: sharded_bt_x(B_, U_, mesh)
     if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
+        from .hybrid import row_scale_from_zetas
+
         B_op = shard_hybrid(
-            B, jnp.sqrt(jnp.asarray(zetas)), mesh, cfg.tpu.dense_head_bytes
+            B, row_scale_from_zetas(zetas), mesh, cfg.tpu.dense_head_bytes
         )
         op_gram = lambda B_, X: sharded_h_gram_x(B_, X, mesh)
         op_bt_x = lambda B_, U_: sharded_h_bt_x(B_, U_, mesh)

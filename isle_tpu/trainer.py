@@ -374,6 +374,14 @@ class Trainer:
             )
             self.timer.next("creating thresholded and scaled matrix")
 
+        if B.nnz == 0 or B.num_docs == 0:
+            raise ValueError(
+                "thresholding dropped every entry (nnz(B)=0): the corpus "
+                "is too sparse for these hyperparameters — check the "
+                "few_samples_threshold_drop / bad_threshold_drop flags "
+                "and eps2/eps3/w0_c"
+            )
+
         # 4-5. truncated SVD of B B^T
         key, sub = jax.random.split(key)
         if resume_svd:
@@ -642,8 +650,11 @@ class Trainer:
                 sharded_h_gram_x,
             )
 
+            from .hybrid import row_scale_from_zetas
+
             B_op = shard_hybrid(
-                B, jnp.sqrt(zetas), mesh, cfg.tpu.dense_head_bytes
+                B, row_scale_from_zetas(zetas), mesh,
+                cfg.tpu.dense_head_bytes
             )
             op_gram = lambda B_, X: sharded_h_gram_x(B_, X, mesh)
             op_bt_x = lambda B_, U_: sharded_h_bt_x(B_, U_, mesh)

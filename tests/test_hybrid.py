@@ -272,3 +272,39 @@ def test_fused_builder_break_head_cap():
     np.testing.assert_allclose(
         mat_to_dense(hs), mat_to_dense(hs_ref), rtol=0, atol=0
     )
+
+
+def test_drop_sentinel_zetas_stay_finite():
+    """zeta=+inf (the few_samples/bad_threshold drop sentinel) must not
+    poison the factored layout: dropped words keep zero entries, and
+    when the head budget selects them anyway (num_head reaching
+    zero-count words), Xs = X * sqrt(zeta) would carry an inf row and
+    0 * inf = NaN through every head product. row_scale_from_zetas
+    neutralizes the sentinel to 0 (round-4 review finding)."""
+    import jax.numpy as jnp
+
+    from isle_tpu.hybrid import h_gram_x, hybrid_from_thresholds
+    from isle_tpu.matops import mat_to_dense
+
+    rng = np.random.default_rng(17)
+    V, D = 32, 40
+    mask = rng.random((V, D)) < 0.4
+    w, d = np.nonzero(mask)
+    order = np.lexsort((w, d))
+    w, d = w[order], d[order]
+    v = rng.integers(1, 6, len(w)).astype(np.float32)
+    sp = DocSparse.build(w, d, v, V, D, chunk=256)
+    zetas = np.full(V, 2.0, np.float32)
+    zetas[3] = np.inf  # dropped word
+    zetas[7] = np.inf
+
+    # head budget >= V rows: the dropped (zero-kept) words enter the head
+    h, oc, frob = hybrid_from_thresholds(
+        sp, jnp.asarray(zetas), V * 2 * D, chunk=256
+    )
+    assert np.isfinite(np.asarray(h.row_scale)).all()
+    dense = mat_to_dense(h)
+    assert np.isfinite(dense).all()
+    assert (dense[3] == 0).all() and (dense[7] == 0).all()
+    X = rng.standard_normal((V, 8)).astype(np.float32)
+    assert np.isfinite(np.asarray(h_gram_x(h, X, 256))).all()

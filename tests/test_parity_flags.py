@@ -147,3 +147,74 @@ def test_eigen_warm_start_trainer(tmp_path):
         np.sort(warm.evalues), np.sort(cold.evalues), rtol=1e-3
     )
     np.testing.assert_allclose(warm.model, cold.model, atol=2e-3)
+
+
+def test_drop_flags_e2e_finite_model(tmp_path):
+    """Training with the threshold-drop flags on a corpus that actually
+    drops words must stay finite end-to-end: the zeta=+inf sentinel used
+    to reach row_scale=sqrt(zeta) and NaN the dense-head products when
+    a dropped word was selected into the head (round-4 review finding;
+    neutralized by hybrid.row_scale_from_zetas)."""
+    from isle_tpu.thresholds import compute_thresholds_np
+
+    rng = np.random.default_rng(3)
+    V0, D, k = 64, 220, 4
+    V = V0 + 6  # 6 extra ids the generator never emits -> truly rare
+    ds, ws, cs = _entries(rng, V0, D, k)
+    # rare words: 2 entries each (far below count_gr) -> too-few-samples
+    rare = []
+    for j, w_id in enumerate(range(V0, V)):
+        rare.append((j % D, w_id, 3))
+        rare.append(((j * 7 + 1) % D, w_id, 3))
+    ds = np.concatenate([ds, [r[0] for r in rare]])
+    ws = np.concatenate([ws, [r[1] for r in rare]])
+    cs = np.concatenate([cs, [r[2] for r in rare]])
+    corpus = Corpus.from_entries(
+        ds, ws, cs, vocab_size=V, num_docs=D, sort_dedup=True
+    )
+    # few-drop only: bad_threshold_drop would drop the MAIN words too at
+    # this shape (counts quantized to 1-3 exhaust the count_eq=3 tie cap)
+    # and empty B entirely — that path now raises explicitly (trainer).
+    hp = HyperParams(
+        block_ks_block_size=8, few_samples_threshold_drop=True,
+    )
+    # precondition: the flags actually drop at least one word here
+    n = corpus.nnz
+    order = np.argsort(corpus.rows[:n], kind="stable")
+    z, _ = compute_thresholds_np(
+        corpus.rows[:n][order], corpus.vals[:n][order], V,
+        corpus.avg_doc_sz, corpus.nz_docs, k, hp,
+    )
+    assert np.isinf(z).any(), "corpus must exercise the drop branch"
+
+    cfg = TrainConfig(num_topics=k, seed=0, hyper=hp)
+    tr = Trainer(cfg, output_dir=str(tmp_path / "drop"), quiet=True)
+    tr.corpus = corpus
+    tr._post_ingest()
+    tr.train()
+    assert np.isfinite(tr.model).all()
+    assert np.isfinite(np.asarray(tr.evalues)).all()
+
+
+def test_empty_B_raises_explicitly(tmp_path):
+    """When thresholding drops every entry (here: bad_threshold_drop on a
+    count-quantized corpus that exhausts the count_eq tie cap for every
+    word), training raises a clear config error instead of an IndexError
+    deep inside a gather (SURVEY §5.3: explicit errors, no silent
+    fallbacks)."""
+    rng = np.random.default_rng(3)
+    V, D, k = 64, 220, 4
+    ds, ws, cs = _entries(rng, V, D, k)
+    corpus = Corpus.from_entries(
+        ds, ws, cs, vocab_size=V, num_docs=D, sort_dedup=True
+    )
+    hp = HyperParams(
+        block_ks_block_size=8, few_samples_threshold_drop=True,
+        bad_threshold_drop=True,
+    )
+    cfg = TrainConfig(num_topics=k, seed=0, hyper=hp)
+    tr = Trainer(cfg, output_dir=str(tmp_path / "empty"), quiet=True)
+    tr.corpus = corpus
+    tr._post_ingest()
+    with pytest.raises(ValueError, match="dropped every entry"):
+        tr.train()
