@@ -187,7 +187,9 @@ class TpuConfig:
     # Restart-warm eigensolver: when a prior 'svd' stage checkpoint exists
     # in the run directory, seed the Krylov start block with its U
     # (linalg._init_block) instead of random — retraining on the same or
-    # drifted data then converges in fewer operator applications. Off by
+    # drifted data then converges in fewer operator applications. Honored
+    # by the in-core, sharded, and streamed trainers and by both Krylov
+    # solvers (lanczos seeds its start vector from U[:, 0]). Off by
     # default: the benchmark headline and parity runs use cold starts.
     eigen_warm_start: bool = False
     # Streamed (out-of-core) mode: HBM budget for keeping a compact

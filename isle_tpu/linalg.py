@@ -397,6 +397,7 @@ def lanczos_device(
     key: Optional[jax.Array] = None,
     timer=None,
     op_data=None,
+    start_vector: Optional[jax.Array] = None,
 ) -> EigResult:
     """Single-vector thick-restart Lanczos — the second, independent
     iterative eigensolver (the reference ships Spectra's ARPACK-style
@@ -501,15 +502,26 @@ def lanczos_device(
     truncate_jit = jax.jit(truncate)
 
     @jax.jit
-    def init_basis(key):
-        v0 = jax.random.normal(key, (dim,), jnp.float32)
-        v0 = v0 / jnp.linalg.norm(v0)
+    def init_basis(key, v0):
+        # restart-warm seed (tpu.eigen_warm_start): v0 from a prior
+        # run's dominant eigenvector; random when not provided.
+        v0 = jnp.where(
+            jnp.linalg.norm(v0) > 0.0,
+            v0,
+            jax.random.normal(key, (dim,), jnp.float32),
+        )
+        v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
         V = jnp.zeros((dim, ncv), jnp.float32).at[:, 0].set(v0)
         T = jnp.zeros((ncv, K), jnp.float32)
         return V, T
 
     t0 = time.perf_counter()
-    V, T = init_basis(key)
+    v0_in = (
+        jnp.zeros((dim,), jnp.float32)
+        if start_vector is None
+        else jnp.asarray(start_vector, jnp.float32)
+    )
+    V, T = init_basis(key, v0_in)
     for j in range(K):
         V, T = step_jit(op_data, V, T, jnp.int32(j), key)
     V, T, w, nconv = truncate_jit(V, T)

@@ -42,7 +42,27 @@ def _pvary(x, axis: str = AXIS):
     return jax.lax.pcast(x, axis, to="varying")
 
 
-_SM_JIT_CACHE: dict = {}
+from collections import OrderedDict
+
+# LRU-bounded: keys carry run-dependent statics (pad sizes, mesh), so a
+# long-lived process training many differently-shaped corpora would
+# otherwise pin compiled executables forever. 256 entries comfortably
+# covers one pipeline's distinct stages times a handful of shapes.
+_SM_JIT_CACHE: OrderedDict = OrderedDict()
+_SM_JIT_CACHE_MAX = 256
+
+
+def _cache_get(k):
+    got = _SM_JIT_CACHE.get(k)
+    if got is not None:
+        _SM_JIT_CACHE.move_to_end(k)
+    return got
+
+
+def _cache_put(k, v):
+    _SM_JIT_CACHE[k] = v
+    while len(_SM_JIT_CACHE) > _SM_JIT_CACHE_MAX:
+        _SM_JIT_CACHE.popitem(last=False)
 
 
 def _sm(key, build, mesh, in_specs, out_specs):
@@ -67,12 +87,12 @@ def _sm(key, build, mesh, in_specs, out_specs):
     arguments, never closed over (closed-over arrays bake into the HLO
     as constants — the remote compile service rejects >~64 MB bodies)."""
     k = (key, mesh, in_specs, out_specs)
-    got = _SM_JIT_CACHE.get(k)
+    got = _cache_get(k)
     if got is None:
         got = jax.jit(jax.shard_map(
             build(), mesh=mesh, in_specs=in_specs, out_specs=out_specs
         ))
-        _SM_JIT_CACHE[k] = got
+        _cache_put(k, got)
     return got
 
 
@@ -80,10 +100,10 @@ def _cached_step(key, build):
     """Cache for jitted multi-shard_map step functions (Lloyd's/Elkan's
     iteration bodies): jax.jit caches on function identity, so a step
     rebuilt per trainer recompiles per trainer. Key rules as in _sm."""
-    got = _SM_JIT_CACHE.get(key)
+    got = _cache_get(key)
     if got is None:
         got = build()
-        _SM_JIT_CACHE[key] = got
+        _cache_put(key, got)
     return got
 
 

@@ -1008,6 +1008,7 @@ class StreamedTrainer:
                 evalues, U, _ = solve_gram_eigens(
                     lambda B_, X: mat_gram_x(B_, X, cfg.tpu.spmm_chunk),
                     V, k, Bh, cfg, sub_eig, timer=t.timer, logger=t.logger,
+                    start_block=t._warm_start_block(V),
                 )
                 t.timer.next("eigen solve (B B^T)")
                 t._checkpoint(

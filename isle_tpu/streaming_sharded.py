@@ -109,6 +109,17 @@ class ShardedResidentLoader:
 
         # per-shard doc ranges and chunk grids
         offsets = corpus.offsets
+        max_doc = int(np.diff(offsets).max()) if D else 0
+        if max_doc > chunk:
+            # Same contract as streaming.doc_chunks: chunk windows are
+            # doc-aligned, so a doc larger than one window cannot be
+            # represented — without this guard the grid clamps hi to
+            # lo+1 but decode_local slices only `chunk` entries and the
+            # doc's tail is SILENTLY dropped from every pass.
+            raise ValueError(
+                f"chunk_entries={chunk} smaller than the largest doc "
+                f"({max_doc} nnz)"
+            )
         bounds_d = [min(s * dps, D) for s in range(S + 1)]
         chunks_per_shard = []
         max_docs = 1
@@ -168,6 +179,17 @@ class ShardedResidentLoader:
             for i in range(len(chunks_per_shard[s]), self.max_chunks):
                 lo_tab[s, i] = hi_d - lo_d
 
+        # host-staged copies kept for release()/refill (the compact
+        # corpus is ~5 B/entry of host RAM; a refill is then just the
+        # device_put, no re-encode)
+        self._host = (w_h, cv_h, off_h, ds_h, a_tab, lo_tab, cnt_tab)
+        self.fill_count = 0
+        self._fill()
+
+    def _fill(self):
+        self.fill_count += 1
+        mesh = self.mesh
+        (w_h, cv_h, off_h, ds_h, a_tab, lo_tab, cnt_tab) = self._host
         self.w_res = _put(mesh, w_h)
         self.cv_res = _put(mesh, cv_h)
         self.off = _put(mesh, off_h)
@@ -176,9 +198,17 @@ class ShardedResidentLoader:
         self.lo_tab = _put(mesh, lo_tab)
         self.cnt_tab = _put(mesh, cnt_tab)
 
+    def release(self):
+        """Free the device slabs (HBM pressure valve for the middle
+        stages); arrays() transparently refills from the host staging."""
+        self.w_res = self.cv_res = self.off = self.ds = None
+        self.a_tab = self.lo_tab = self.cnt_tab = None
+
     # ------------------------------------------------------------------
     def arrays(self):
         """The 7 sharded operands every per-chunk step threads through."""
+        if self.w_res is None:
+            self._fill()
         return (self.w_res, self.cv_res, self.off, self.ds,
                 self.a_tab, self.lo_tab, self.cnt_tab)
 
@@ -809,66 +839,113 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
     )
     t.timer.next("streamed B construction (sharded)")
 
-    # Middle: identical to trainer._train_sharded from here on.
-    B_op = B
-    op_gram = lambda B_, X: sharded_gram_x(B_, X, mesh)
-    op_bt_x = lambda B_, U_: sharded_bt_x(B_, U_, mesh)
-    if cfg.tpu.dense_head_bytes > 0 and B.num_docs > 0:
-        from .hybrid import row_scale_from_zetas
-
-        B_op = shard_hybrid(
-            B, row_scale_from_zetas(zetas), mesh, cfg.tpu.dense_head_bytes
-        )
-        op_gram = lambda B_, X: sharded_h_gram_x(B_, X, mesh)
-        op_bt_x = lambda B_, U_: sharded_h_bt_x(B_, U_, mesh)
-        t.logger.diag(
-            f"sharded hybrid layout: {B_op.num_head} global head rows"
-        )
-        t.timer.next("hybrid layout (sharded)")
+    # Middle: identical to trainer._train_sharded, plus the single-device
+    # streamed path's HBM planning (streaming.plan_middle_budget): the
+    # per-shard resident slab stays held through the middle, so the dense
+    # head shrinks into the per-chip leftover; RESOURCE_EXHAUSTED falls
+    # back to releasing the slabs and retrying at the full head budget
+    # (the finish passes transparently refill from host staging).
+    from .streaming import plan_middle_budget
 
     key, sub_eig = jax.random.split(key)
     key, sub_seed = jax.random.split(key)
-    if resume_svd:
-        evalues = ck["svd"]["evalues"]
-        U = jnp.asarray(ck["svd"]["U"])
-        t.logger.info("resumed eigenvectors from 'svd' checkpoint")
-    else:
-        evalues, U, stats = solve_gram_eigens(
-            op_gram, V, k, B_op, cfg, sub_eig,
-            timer=t.timer, logger=t.logger,
-        )
-        if stats is not None:
-            res, op_width = stats
-            t.op_counter.add(
-                res.op_seconds,
-                sharded_spmm_flops(B, op_width) * res.op_calls,
-                res.op_calls,
+    slab_held = True
+    head_bytes = cfg.tpu.dense_head_bytes
+    # per-shard build temporaries scale with the padded per-shard tail
+    per_shard_nnz = int(B.d_word.shape[1])
+    keep, head_bytes = plan_middle_budget(
+        cfg.tpu.hbm_bytes, loader.slab_bytes_per_shard, per_shard_nnz,
+        cfg.tpu.dense_head_bytes,
+    )
+    if keep:
+        if head_bytes != cfg.tpu.dense_head_bytes:
+            t.logger.info(
+                f"holding per-shard resident slabs "
+                f"({loader.slab_bytes_per_shard >> 20} MiB/shard) through "
+                f"the middle; dense head budget {head_bytes >> 20} MiB"
             )
-        t.timer.next("eigen solve (B B^T, sharded)")
-        t._checkpoint(
-            "svd", U=np.asarray(U), evalues=evalues,
-            zetas=np.asarray(zetas), original_cols=original_cols,
-        )
-
-    P_mat = compact_doc_rows(op_bt_x(B_op, U), B).T
-    seeds, centers_lowd, _ = kmeans_init_on_projected(
-        P_mat, k, hp.kmeans_init_reps, sub_seed,
-        method=hp.kmeans_init_method,
-        mcmc_sample_size=hp.kmeansmcmc_sample_size,
-    )
-    centers_lowd, _ = run_lloyds_projected(
-        P_mat, centers_lowd, hp.max_kmeans_lowd_reps
-    )
-    centers_full = jnp.matmul(centers_lowd, U.T, precision=HI)
-    if hp.kmeans_algo_for_sparse == "elkans":
-        from .elkans_sharded import sharded_run_elkans
-
-        centers_full, assign_h = sharded_run_elkans(
-            B_op, centers_full, hp.max_kmeans_reps, mesh, timer=t.timer
-        )
     else:
-        centers_full, assign_h = sharded_run_lloyds_full(
-            B_op, centers_full, hp.max_kmeans_reps, mesh, timer=t.timer
+        loader.release()
+        slab_held = False
+        head_bytes = cfg.tpu.dense_head_bytes
+
+    def run_middle(head_budget: int):
+        B_op = B
+        op_gram = lambda B_, X: sharded_gram_x(B_, X, mesh)
+        op_bt_x = lambda B_, U_: sharded_bt_x(B_, U_, mesh)
+        if head_budget > 0 and B.num_docs > 0:
+            from .hybrid import row_scale_from_zetas
+
+            B_op = shard_hybrid(
+                B, row_scale_from_zetas(zetas), mesh, head_budget
+            )
+            op_gram = lambda B_, X: sharded_h_gram_x(B_, X, mesh)
+            op_bt_x = lambda B_, U_: sharded_h_bt_x(B_, U_, mesh)
+            t.logger.diag(
+                f"sharded hybrid layout: {B_op.num_head} global head rows"
+            )
+            t.timer.next("hybrid layout (sharded)")
+
+        if resume_svd:
+            evalues = ck["svd"]["evalues"]
+            U = jnp.asarray(ck["svd"]["U"])
+            t.logger.info("resumed eigenvectors from 'svd' checkpoint")
+        else:
+            evalues, U, stats = solve_gram_eigens(
+                op_gram, V, k, B_op, cfg, sub_eig,
+                timer=t.timer, logger=t.logger,
+                start_block=t._warm_start_block(V),
+            )
+            if stats is not None:
+                res, op_width = stats
+                t.op_counter.add(
+                    res.op_seconds,
+                    sharded_spmm_flops(B, op_width) * res.op_calls,
+                    res.op_calls,
+                )
+            t.timer.next("eigen solve (B B^T, sharded)")
+            t._checkpoint(
+                "svd", U=np.asarray(U), evalues=evalues,
+                zetas=np.asarray(zetas), original_cols=original_cols,
+            )
+
+        P_mat = compact_doc_rows(op_bt_x(B_op, U), B).T
+        seeds, centers_lowd, _ = kmeans_init_on_projected(
+            P_mat, k, hp.kmeans_init_reps, sub_seed,
+            method=hp.kmeans_init_method,
+            mcmc_sample_size=hp.kmeansmcmc_sample_size,
+        )
+        centers_lowd, _ = run_lloyds_projected(
+            P_mat, centers_lowd, hp.max_kmeans_lowd_reps
+        )
+        centers_full = jnp.matmul(centers_lowd, U.T, precision=HI)
+        if hp.kmeans_algo_for_sparse == "elkans":
+            from .elkans_sharded import sharded_run_elkans
+
+            centers_full, assign_h = sharded_run_elkans(
+                B_op, centers_full, hp.max_kmeans_reps, mesh, timer=t.timer
+            )
+        else:
+            centers_full, assign_h = sharded_run_lloyds_full(
+                B_op, centers_full, hp.max_kmeans_reps, mesh, timer=t.timer
+            )
+        return evalues, U, centers_full, assign_h
+
+    try:
+        evalues, U, centers_full, assign_h = run_middle(head_bytes)
+    except Exception as e:
+        oom = ("RESOURCE_EXHAUSTED" in str(e)
+               or "Ran out of memory" in str(e))
+        if not (slab_held and oom):
+            raise
+        t.logger.warning(
+            "sharded middle exhausted HBM with the resident slabs held; "
+            "releasing and retrying (the finish passes will refill)"
+        )
+        loader.release()
+        slab_held = False
+        evalues, U, centers_full, assign_h = run_middle(
+            cfg.tpu.dense_head_bytes
         )
     t.evalues = evalues
     t.centers = np.asarray(centers_full)
@@ -880,7 +957,7 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
     sizes = np.bincount(assign_h, minlength=k).astype(np.int32)
     t._checkpoint("kmeans", centers=t.centers,
                   cluster_of_doc=cluster_of_doc)
-    del B, B_op, U, centers_full
+    del B, U, centers_full
     _finish_sharded_streamed(st, loader, cluster_of_doc, sizes, k, D, hp,
                              cfg, mesh)
 

@@ -88,6 +88,10 @@ def solve_gram_eigens(
 
     if eigensolver == "lanczos":
         solver, kwargs, op_width = lanczos_device, {}, 1
+        if start_block is not None:
+            # width-1 recurrence: seed from the dominant checkpointed
+            # eigenvector (columns of U are eigenvalue-descending)
+            kwargs["start_vector"] = start_block[:, 0]
     else:
         solver = block_ks_device if cfg.tpu.device_loop_solver else block_ks
         kwargs = dict(blk=hp.block_ks_block_size)
@@ -679,6 +683,7 @@ class Trainer:
                 sub,
                 timer=self.timer,
                 logger=self.logger,
+                start_block=self._warm_start_block(V),
             )
             if stats is not None:
                 res, op_width = stats

@@ -149,6 +149,42 @@ def test_eigen_warm_start_trainer(tmp_path):
     np.testing.assert_allclose(warm.model, cold.model, atol=2e-3)
 
 
+@pytest.mark.parametrize("variant", ["sharded", "lanczos"])
+def test_eigen_warm_start_other_paths(tmp_path, variant):
+    """eigen_warm_start must be honored off the default in-core path too
+    (round-4 review: the flag was silently ignored by _train_sharded and
+    the lanczos branch)."""
+    from isle_tpu.config import TpuConfig
+
+    rng = np.random.default_rng(2)
+    V, D, k = 60, 240, 4
+    d, w, c = _entries(rng, V, D, k)
+    if variant == "sharded":
+        hp = HyperParams(block_ks_block_size=8)
+        tpu_kw = dict(mesh_shape=(4,))
+    else:
+        hp = HyperParams(eigensolver="lanczos")
+        tpu_kw = {}
+
+    def _train(cfg):
+        tr = Trainer(cfg, output_dir=str(tmp_path), quiet=True)
+        tr.corpus = Corpus.from_entries(d, w, c, vocab_size=V, num_docs=D)
+        tr._post_ingest()
+        tr.train()
+        return tr
+
+    cold = _train(TrainConfig(num_topics=k, seed=1, hyper=hp,
+                              tpu=TpuConfig(**tpu_kw)))
+    warm = _train(TrainConfig(
+        num_topics=k, seed=1, hyper=hp,
+        tpu=TpuConfig(eigen_warm_start=True, **tpu_kw),
+    ))
+    np.testing.assert_allclose(
+        np.sort(warm.evalues), np.sort(cold.evalues), rtol=1e-3
+    )
+    np.testing.assert_allclose(warm.model, cold.model, atol=2e-3)
+
+
 def test_drop_flags_e2e_finite_model(tmp_path):
     """Training with the threshold-drop flags on a corpus that actually
     drops words must stay finite end-to-end: the zeta=+inf sentinel used

@@ -278,3 +278,62 @@ def test_sharded_streamed_elkans(corpus_file):
         t_ms._t.cluster_of_doc, t_st._t.cluster_of_doc
     )
     np.testing.assert_allclose(t_ms.model, t_st.model, atol=2e-3)
+
+
+def test_sharded_loader_rejects_oversize_doc():
+    """A doc with more entries than chunk_entries cannot fit any
+    doc-aligned chunk window; the loader must refuse loudly (round-4
+    review: the grid used to clamp and decode_local silently dropped the
+    doc's tail from every streamed pass)."""
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.sharding import make_mesh
+    from isle_tpu.streaming_sharded import ShardedResidentLoader
+
+    ds = np.concatenate([np.zeros(10, np.int64), [1, 1, 2]])
+    ws = np.concatenate([np.arange(10), [0, 3, 5]])
+    cs = np.ones(13, np.int64)
+    corpus = Corpus.from_entries(
+        ds, ws, cs, vocab_size=12, num_docs=3, sort_dedup=True
+    )
+    with pytest.raises(ValueError, match="largest doc"):
+        ShardedResidentLoader(corpus, 4, make_mesh(2))
+
+
+def test_sharded_streamed_middle_oom_fallback(corpus_file, monkeypatch,
+                                              tmp_path):
+    """RESOURCE_EXHAUSTED during the slab-held sharded middle must release
+    the per-shard slabs and retry at the configured head budget; the
+    finish passes refill transparently and the outputs match a normal
+    run (the mesh form of test_streamed_middle_oom_fallback)."""
+    import isle_tpu.sharding as sharding_mod
+
+    tmp, tdf, V, D, k = corpus_file
+    cfg = TrainConfig(num_topics=k, seed=3, tpu=TpuConfig(mesh_shape=(8,)))
+
+    t_ref = StreamedTrainer(cfg, output_dir=str(tmp_path / "ref"),
+                            chunk_entries=1024)
+    t_ref._t.load_data_from_file(tdf)
+    t_ref.train()
+
+    real = sharding_mod.shard_hybrid
+    calls = {"n": 0}
+
+    def oom_once(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error "
+                               "(ResourceExhausted) [simulated]")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sharding_mod, "shard_hybrid", oom_once)
+    t_oom = StreamedTrainer(cfg, output_dir=str(tmp_path / "oom"),
+                            chunk_entries=1024)
+    t_oom._t.load_data_from_file(tdf)
+    t_oom.train()
+
+    assert calls["n"] == 2  # failed attempt + successful retry
+    assert t_oom._loader.fill_count == 2  # released, refilled for finish
+    np.testing.assert_array_equal(t_oom.model, t_ref.model)
+    np.testing.assert_array_equal(
+        t_oom.cluster_of_doc, t_ref.cluster_of_doc
+    )
