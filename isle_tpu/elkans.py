@@ -78,6 +78,36 @@ def _flag_stats(sp, flagged: jax.Array):
     return int(nd), int(ne)
 
 
+def make_bucket_picker(full_docs: int, full_entries: int,
+                       max_buckets: int = 8):
+    """Bounded (m_docs, m_entries) bucket grid for the mini exact-distance
+    pass: each distinct pair is one jit specialization, and on this
+    backend each compile is an erratic remote round trip — cap the grid
+    (default 8 + the full-size fallback). Flagged counts shrink as the
+    bounds tighten, so early (large) buckets usually cover later reps.
+    ONE shared policy for the single-device and mesh Elkan's — tuning it
+    here retunes both."""
+    full_bucket = (max(full_docs, 8), max(full_entries, 64))
+    buckets = []
+
+    def pick_bucket(n_docs: int, n_entries: int):
+        fits = [b for b in buckets if b[0] >= n_docs and b[1] >= n_entries]
+        if fits:
+            return min(fits)
+        if len(buckets) >= max_buckets:
+            if full_bucket not in buckets:
+                buckets.append(full_bucket)
+            return full_bucket
+        b = (
+            min(_pow2_at_least(n_docs, 8), full_bucket[0]),
+            min(_pow2_at_least(n_entries, 64), full_bucket[1]),
+        )
+        buckets.append(b)
+        return b
+
+    return pick_bucket
+
+
 def _pow2_at_least(n: int, lo: int) -> int:
     m = lo
     while m < n:
@@ -174,30 +204,9 @@ def run_elkans(
     lb = dist
     prev = None
 
-    # Bounded (m_docs, m_entries) bucket grid: each distinct pair is one
-    # _flagged_dists jit specialization, and on this backend each compile
-    # is an erratic remote round trip — cap the cache at ~8 entries.
-    # Flagged counts shrink as the bounds tighten, so early (large)
-    # buckets usually cover later reps; a full-size fallback always fits.
     pad = sp.td_word.shape[0] if isinstance(sp, HybridSparse) \
         else sp.d_word.shape[0]
-    full_bucket = (max(D, 8), max(pad, 64))
-    buckets = []
-
-    def pick_bucket(n_docs: int, n_entries: int):
-        fits = [b for b in buckets if b[0] >= n_docs and b[1] >= n_entries]
-        if fits:
-            return min(fits)
-        if len(buckets) >= 8:
-            if full_bucket not in buckets:
-                buckets.append(full_bucket)
-            return full_bucket
-        b = (
-            min(_pow2_at_least(n_docs, 8), full_bucket[0]),
-            min(_pow2_at_least(n_entries, 64), full_bucket[1]),
-        )
-        buckets.append(b)
-        return b
+    pick_bucket = make_bucket_picker(D, pad)
 
     for rep in range(max_reps):
         centers_new, _ = _update_centers_full(sp, assign, k)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .elkans import _half_center_dists, _pow2_at_least
+from .elkans import _half_center_dists, make_bucket_picker
 from .sharding import (
     AXIS,
     Mesh,
@@ -317,31 +317,14 @@ def sharded_run_elkans(
     assign, ub, lb = init(sp, centers, docs_l2, nzd)
     prev = None
 
-    # Bounded bucket grid, same policy as the single-device run (each
-    # distinct (m_docs, m_entries) pair is one compile); buckets are
+    # Shared bucket policy (elkans.make_bucket_picker); buckets are
     # GLOBAL (cross-shard max) because SPMD runs one program everywhere.
     if isinstance(sp, ShardedHybrid):
         pad = sp.td_word.shape[1]
     else:
         pad = sp.d_word.shape[1]
-    full_bucket = (max(dps, 8), max(pad, 64))
-    buckets = []
+    pick_bucket = make_bucket_picker(dps, pad)
     minis = {}
-
-    def pick_bucket(n_docs: int, n_entries: int):
-        fits = [b for b in buckets if b[0] >= n_docs and b[1] >= n_entries]
-        if fits:
-            return min(fits)
-        if len(buckets) >= 8:
-            if full_bucket not in buckets:
-                buckets.append(full_bucket)
-            return full_bucket
-        b = (
-            min(_pow2_at_least(n_docs, 8), full_bucket[0]),
-            min(_pow2_at_least(n_entries, 64), full_bucket[1]),
-        )
-        buckets.append(b)
-        return b
 
     for rep in range(max_reps):
         centers, ub, lb, flagged, stats = step(

@@ -55,6 +55,15 @@ def _flat_doc_index(D: int, S: int, dps: int) -> np.ndarray:
     ).astype(np.int32) if S else np.zeros((0,), np.int32)
 
 
+def _padded_row_index(D: int, S: int, dps: int) -> np.ndarray:
+    """Positions of docs 0..D-1 inside the flattened (S, dps + 1)
+    doc-sharded accumulators (row dps of each shard is the spill/pad
+    row). The single source for this mapping — it must agree with the
+    shard split everywhere it is used."""
+    flat = _flat_doc_index(D, S, dps)
+    return (flat // dps) * (dps + 1) + (flat % dps)
+
+
 @dataclasses.dataclass
 class ShardedResidentLoader:
     """Doc-sharded device-resident compact corpus.
@@ -330,10 +339,10 @@ def sharded_streamed_doc_weights(
     acc = _put(mesh, np.zeros((loader.S, dps + 1), np.float32))
     for i in range(loader.max_chunks):
         acc = step(acc, z, loader.arrays(), jnp.int32(i))
-    flat = jnp.asarray(_flat_doc_index(loader.D, loader.S, dps))
+    pick = jnp.asarray(_padded_row_index(loader.D, loader.S, dps))
     return jnp.take(
         jnp.asarray(acc).reshape(loader.S * (dps + 1)),
-        (flat // dps) * (dps + 1) + (flat % dps),
+        pick,
     )
 
 
@@ -354,8 +363,7 @@ def sharded_streamed_build_b(
     z = jnp.asarray(zetas, jnp.float32)
     if select_docs is not None:
         sel_h = np.zeros((S, dps + 1), bool)
-        flat = _flat_doc_index(D, S, dps)
-        sel_h.reshape(-1)[(flat // dps) * (dps + 1) + (flat % dps)] = (
+        sel_h.reshape(-1)[_padded_row_index(D, S, dps)] = (
             np.asarray(select_docs))
     else:
         sel_h = np.ones((S, dps + 1), bool)
@@ -475,8 +483,7 @@ def sharded_streamed_filter_clustered(
     mesh, S, dps, V, D = (loader.mesh, loader.S, loader.dps, loader.V,
                           loader.D)
     cl_h = np.zeros((S, dps + 1), np.int32) - 1
-    flat = _flat_doc_index(D, S, dps)
-    cl_h.reshape(-1)[(flat // dps) * (dps + 1) + (flat % dps)] = (
+    cl_h.reshape(-1)[_padded_row_index(D, S, dps)] = (
         cluster_of_doc.astype(np.int32))
     cl = _put(mesh, cl_h)
 
@@ -690,8 +697,7 @@ def sharded_top_two_topics(mass: jax.Array, loader: ShardedResidentLoader):
     t1, t2, valid = _sm(
         ("ss_top2", k), lambda: f, mesh, (P(AXIS),), (P(AXIS),) * 3,
     )(mass)
-    flat = _flat_doc_index(D, S, dps)
-    pick = (flat // dps) * (dps + 1) + (flat % dps)
+    pick = _padded_row_index(D, S, dps)
     return (np.asarray(t1).reshape(-1)[pick],
             np.asarray(t2).reshape(-1)[pick],
             np.asarray(valid).reshape(-1)[pick])
@@ -706,8 +712,7 @@ def sharded_contribution_weights(
     mesh, S, dps, D = loader.mesh, loader.S, loader.dps, loader.D
     k = mass.shape[-1]
     cl_h = np.zeros((S, dps + 1), np.int32) - 1
-    flat = _flat_doc_index(D, S, dps)
-    cl_h.reshape(-1)[(flat // dps) * (dps + 1) + (flat % dps)] = (
+    cl_h.reshape(-1)[_padded_row_index(D, S, dps)] = (
         cluster_of_doc.astype(np.int32))
     cl = _put(mesh, cl_h)
 
