@@ -40,9 +40,10 @@ from .matops import mat_bt_x, mat_doc_l2sq
 HI = jax.lax.Precision.HIGHEST
 
 
-@jax.jit
-def _exact_dists(sp, centers: jax.Array, docs_l2: jax.Array):
-    dots = mat_bt_x(sp, centers.T)
+@partial(jax.jit, static_argnames=("chunk",))
+def _exact_dists(sp, centers: jax.Array, docs_l2: jax.Array,
+                 chunk: int = 1 << 20):
+    dots = mat_bt_x(sp, centers.T, chunk)
     c_l2 = jnp.sum(centers * centers, axis=1)
     d2 = docs_l2[:, None] + c_l2[None, :] - 2.0 * dots
     return jnp.sqrt(jnp.maximum(d2, 0.0))
@@ -190,15 +191,16 @@ def _half_center_dists(centers):
 
 
 def run_elkans(
-    sp, centers: jax.Array, max_reps: int, timer=None
+    sp, centers: jax.Array, max_reps: int, timer=None,
+    chunk: int = 1 << 20,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (centers (k, vocab), assignment). Same fixpoint as Lloyd's
     (up to exact-tie ordering; see module docstring)."""
     k = centers.shape[0]
     D = sp.num_docs
-    docs_l2 = mat_doc_l2sq(sp)
+    docs_l2 = mat_doc_l2sq(sp, chunk)
 
-    dist = _exact_dists(sp, centers, docs_l2)  # (D, k)
+    dist = _exact_dists(sp, centers, docs_l2, chunk)  # (D, k)
     assign = jnp.argmin(dist, axis=1).astype(jnp.int32)
     ub = jnp.min(dist, axis=1)
     lb = dist
@@ -209,7 +211,7 @@ def run_elkans(
     pick_bucket = make_bucket_picker(D, pad)
 
     for rep in range(max_reps):
-        centers_new, _ = _update_centers_full(sp, assign, k)
+        centers_new, _ = _update_centers_full(sp, assign, k, chunk)
         move = jnp.linalg.norm(centers_new - centers, axis=1)  # (k,)
         centers = centers_new
         s = _half_center_dists(centers)
@@ -242,5 +244,5 @@ def run_elkans(
             break
         prev = assign_next
         assign = assign_next
-    centers, _ = _update_centers_full(sp, assign, k)
+    centers, _ = _update_centers_full(sp, assign, k, chunk)
     return centers, assign

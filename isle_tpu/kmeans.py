@@ -75,6 +75,21 @@ def _kmeanspp_loop(P: jax.Array, key: jax.Array, k: int, nb_max: int):
 
         cumul = jnp.cumsum(min_dist)
         total = cumul[-1]
+        # Exhaustion guard: once every distinct point is a chosen center
+        # (duplicate-doc corpora with k > #distinct docs), min_dist is
+        # all-zero, every draw lands on an already-chosen doc, and the
+        # while_loop would spin forever ON DEVICE with no host interrupt.
+        # Fill the remaining slots deterministically (cycling from the
+        # first center) and finish — duplicate centers are the honest
+        # degenerate answer; Lloyd's then leaves the extra clusters
+        # empty. The reference would spin here too; terminating is ours.
+        exhausted = total <= 0.0
+        slots = jnp.arange(k, dtype=jnp.int32)
+        fill_ids = (centers[0] + slots) % jnp.int32(D)
+        centers = jnp.where(
+            exhausted, jnp.where(slots < count, centers, fill_ids), centers
+        )
+        count = jnp.where(exhausted, jnp.int32(k), count)
         s = count
         # Candidate draws this round: the reference's loop runs while
         # c < 1 + sqrt(max(s-5, 0)) with a FLOAT bound
@@ -182,7 +197,9 @@ def kmeansbb_on_projected(
     first = int(jax.random.randint(sub, (), 0, D))
     cand = [first]
     min_dist = jnp.maximum(
-        docs_l2 + docs_l2[first] - 2.0 * (P.T @ P[:, first]), 0.0
+        docs_l2 + docs_l2[first]
+        - 2.0 * jnp.einsum("kd,k->d", P, P[:, first], precision=HI),
+        0.0
     )
     for _ in range(R):
         total = float(jnp.sum(min_dist))
@@ -230,13 +247,21 @@ def _weighted_kmeanspp(P, w, k, key):
     key, sub = jax.random.split(key)
     first = jax.random.categorical(sub, jnp.log(jnp.maximum(w, 1e-30)))
     idx = [int(first)]
-    min_dist = jnp.maximum(docs_l2 + docs_l2[first] - 2.0 * (P.T @ P[:, first]), 0.0)
+    min_dist = jnp.maximum(
+        docs_l2 + docs_l2[first]
+        - 2.0 * jnp.einsum("kd,k->d", P, P[:, first], precision=HI),
+        0.0,
+    )
     for _ in range(1, k):
         key, sub = jax.random.split(key)
         logits = jnp.log(jnp.maximum(min_dist * w, 1e-30))
         nxt = int(jax.random.categorical(sub, logits))
         idx.append(nxt)
-        d = jnp.maximum(docs_l2 + docs_l2[nxt] - 2.0 * (P.T @ P[:, nxt]), 0.0)
+        d = jnp.maximum(
+            docs_l2 + docs_l2[nxt]
+            - 2.0 * jnp.einsum("kd,k->d", P, P[:, nxt], precision=HI),
+            0.0,
+        )
         min_dist = jnp.minimum(min_dist, d)
     return P[:, jnp.asarray(np.array(idx))].T  # (k, kdim)
 
@@ -339,7 +364,11 @@ def kmeansmcmc_on_projected(
     key, sub = jax.random.split(key)
     first = int(jax.random.randint(sub, (), 0, D))
     centers = [first]
-    min_dist = jnp.maximum(docs_l2 + docs_l2[first] - 2.0 * (P.T @ P[:, first]), 0.0)
+    min_dist = jnp.maximum(
+        docs_l2 + docs_l2[first]
+        - 2.0 * jnp.einsum("kd,k->d", P, P[:, first], precision=HI),
+        0.0,
+    )
     centers_idx = np.zeros(k, np.int32)
     centers_idx[0] = first
     processed = 1
@@ -403,22 +432,43 @@ def _update_centers_projected(P: jax.Array, assign: jax.Array, k: int):
     return centers, counts
 
 
+@partial(jax.jit, static_argnames=("k", "max_reps"))
+def _lloyds_projected_device(P, centers, k: int, max_reps: int):
+    """The whole projected Lloyd's loop in one lax.while_loop: the
+    host-side membership check cost a device sync (~30 ms to ~0.5 s on
+    this tunnel) PER REP — same fix as _lloyds_full_device."""
+    D = P.shape[1]
+
+    def cond(st):
+        _, _, done, rep = st
+        return (~done) & (rep < max_reps)
+
+    def body(st):
+        centers, prev, _, rep = st
+        assign = _assign_projected(P, centers)
+        centers, _ = _update_centers_projected(P, assign, k)
+        done = jnp.all(assign == prev)
+        return centers, assign, done, rep + 1
+
+    init = (centers, jnp.full((D,), -1, jnp.int32), jnp.bool_(False),
+            jnp.int32(0))
+    centers, assign, _, reps = jax.lax.while_loop(cond, body, init)
+    return centers, assign, reps
+
+
 def run_lloyds_projected(
     P: jax.Array, centers: jax.Array, max_reps: int, timer=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd's to membership convergence (run_lloyds_on_projected_space,
-    src/sparseMatrix.cpp:2016-2072). Returns (centers (k, kdim), assign)."""
+    src/sparseMatrix.cpp:2016-2072). Returns (centers (k, kdim), assign).
+    Same break placement as the reference's host loop: the rep that
+    reproduces the previous assignment still updates the centers."""
     k = centers.shape[0]
-    prev = None
-    assign = None
-    for rep in range(max_reps):
-        assign = _assign_projected(P, centers)
-        centers, _ = _update_centers_projected(P, assign, k)
-        if prev is not None and bool(jnp.array_equal(assign, prev)):
-            if timer is not None:
-                timer.diag(f"projected lloyds converged at rep {rep}")
-            break
-        prev = assign
+    centers, assign, reps = _lloyds_projected_device(
+        P, centers, k, max_reps
+    )
+    if timer is not None:
+        timer.diag(f"projected lloyds ran {int(reps)} reps (max {max_reps})")
     return centers, assign
 
 
@@ -427,42 +477,36 @@ def run_lloyds_projected(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _assign_full(sp, centers: jax.Array, docs_l2: jax.Array) -> jax.Array:
-    """centers: (k, vocab). Blocked distance + argmin via SpMM."""
-    dots = mat_bt_x(sp, centers.T)  # (D, k)
-    c_l2 = jnp.sum(centers * centers, axis=1)
-    dists = docs_l2[:, None] + c_l2[None, :] - 2.0 * dots
-    return jnp.argmin(dists, axis=1).astype(jnp.int32)
-
-
-@partial(jax.jit, static_argnames=("k",))
-def _update_centers_full(sp, assign: jax.Array, k: int):
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _update_centers_full(sp, assign: jax.Array, k: int,
+                         chunk: int = 1 << 20):
     D = sp.num_docs
     onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # (D, k)
-    sums = mat_b_y(sp, onehot)  # (vocab, k)
+    sums = mat_b_y(sp, onehot, chunk)  # (vocab, k)
     counts = jnp.sum(onehot, axis=0)
     centers = jnp.where(counts[None, :] > 0, sums / counts[None, :], 0.0).T
     return centers, counts
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _lloyds_iter_full(sp, centers: jax.Array, docs_l2: jax.Array, k: int):
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _lloyds_iter_full(sp, centers: jax.Array, docs_l2: jax.Array, k: int,
+                      chunk: int = 1 << 20):
     """One fused Lloyd's iteration (assignment + centroid update) in a
     single dispatch."""
-    dots = mat_bt_x(sp, centers.T)  # (D, k)
+    dots = mat_bt_x(sp, centers.T, chunk)  # (D, k)
     c_l2 = jnp.sum(centers * centers, axis=1)
     dists = docs_l2[:, None] + c_l2[None, :] - 2.0 * dots
     assign = jnp.argmin(dists, axis=1).astype(jnp.int32)
     onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
-    sums = mat_b_y(sp, onehot)  # (vocab, k)
+    sums = mat_b_y(sp, onehot, chunk)  # (vocab, k)
     counts = jnp.sum(onehot, axis=0)
     centers = jnp.where(counts[None, :] > 0, sums / counts[None, :], 0.0).T
     return centers, assign
 
 
-@partial(jax.jit, static_argnames=("k", "max_reps"))
-def _lloyds_full_device(sp, centers, docs_l2, k: int, max_reps: int):
+@partial(jax.jit, static_argnames=("k", "max_reps", "chunk"))
+def _lloyds_full_device(sp, centers, docs_l2, k: int, max_reps: int,
+                        chunk: int = 1 << 20):
     """The whole Lloyd's convergence loop in one lax.while_loop: each
     host-side membership check costs a device sync (~30 ms to ~0.5 s on
     this tunnel), so the membership-unchanged test runs on device."""
@@ -474,7 +518,7 @@ def _lloyds_full_device(sp, centers, docs_l2, k: int, max_reps: int):
 
     def body(st):
         centers, prev, _, rep = st
-        centers, assign = _lloyds_iter_full(sp, centers, docs_l2, k)
+        centers, assign = _lloyds_iter_full(sp, centers, docs_l2, k, chunk)
         done = jnp.all(assign == prev)
         return centers, assign, done, rep + 1
 
@@ -485,7 +529,8 @@ def _lloyds_full_device(sp, centers, docs_l2, k: int, max_reps: int):
 
 
 def run_lloyds_full(
-    sp, centers: jax.Array, max_reps: int, timer=None
+    sp, centers: jax.Array, max_reps: int, timer=None,
+    chunk: int = 1 << 20,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-space Lloyd's (run_lloyds, src/sparseMatrix.cpp:1689-1746).
     centers: (k, vocab); sp: DocSparse or HybridSparse. Returns
@@ -494,9 +539,9 @@ def run_lloyds_full(
     the iteration that reproduces the previous assignment still updates
     the centers)."""
     k = centers.shape[0]
-    docs_l2 = mat_doc_l2sq(sp)
+    docs_l2 = mat_doc_l2sq(sp, chunk)
     centers, assign, reps = _lloyds_full_device(
-        sp, centers, docs_l2, k, max_reps
+        sp, centers, docs_l2, k, max_reps, chunk
     )
     if timer is not None:
         timer.diag(f"full lloyds ran {int(reps)} reps (max {max_reps})")

@@ -174,23 +174,33 @@ def block_ks(
     H = jnp.zeros((ncv, K), jnp.float32)
     V = V.at[:, :blk].set(_init_block(dim, blk, key, start_block))
 
+    def _await(x):
+        # jax.block_until_ready does NOT await remote execution on the
+        # axon tunnel (CLAUDE.md); a 1-element host readback does.
+        np.asarray(jnp.reshape(x, (-1,))[:1])
+
     # Warm-up call so the op timer measures execution, not compilation
     # (the expand step is shape-stable across m; one compile serves all).
-    jax.block_until_ready(expand_step(op_data, V, H, 0))
+    _await(expand_step(op_data, V, H, 0)[0])
 
     m = 0  # active square columns of H
     restarts = 0
     nconv = 0
     evals = None
     while True:
-        # --- expand to K ---
+        # --- expand to K: ops dispatch back-to-back, ONE forced readback
+        # times the batch (a per-op readback would add a ~30 ms round
+        # trip per operator application to the production path). ---
+        t0 = time.perf_counter()
+        batch_calls = 0
         while m < K:
-            t0 = time.perf_counter()
             V, H = expand_step(op_data, V, H, m)
-            jax.block_until_ready(V)
-            op_seconds += time.perf_counter() - t0
-            op_calls += 1
+            batch_calls += 1
             m += blk
+        if batch_calls:
+            _await(V)
+            op_seconds += time.perf_counter() - t0
+            op_calls += batch_calls
         # --- truncate (thick restart, no locking) ---
         Hs = H[:K, :K]
         Hs = (Hs + Hs.T) * 0.5

@@ -324,19 +324,19 @@ def sharded_thresholds(
         def body(acc, args):
             wi, ri = args
             row = wi * nbanks + ri // 128
+            # int32 bins (see thresholds._hist_banked: f32 saturates at
+            # 2^24)
             return acc.at[row].add(
-                jax.nn.one_hot(ri % 128, 128, dtype=jnp.float32)
+                jax.nn.one_hot(ri % 128, 128, dtype=jnp.int32)
             ), None
 
-        init = _pvary(jnp.zeros(((wps + 1) * nbanks, 128), jnp.float32))
+        init = _pvary(jnp.zeros(((wps + 1) * nbanks, 128), jnp.int32))
         hist, _ = jax.lax.scan(
             body,
             init,
             (w.reshape(n // chunk, chunk), r.reshape(n // chunk, chunk)),
         )
-        hist = hist.reshape(wps + 1, nbanks * 128)[:wps, : F + 1].astype(
-            jnp.int32
-        )
+        hist = hist.reshape(wps + 1, nbanks * 128)[:wps, : F + 1]
         hist = hist.at[:, 0].set(0)
         zeta, nnz_w = _zeta_from_hist(
             hist, count_gr, count_eq, jnp,

@@ -539,8 +539,9 @@ def _hist_accum(hist_banked, words, vals, F: int):
     def body(acc, args):
         wi, ri = args
         row = wi * nbanks + ri // 128
+        # int32 bins (see thresholds._hist_banked: f32 saturates at 2^24)
         return acc.at[row].add(
-            jax.nn.one_hot(ri % 128, 128, dtype=jnp.float32)
+            jax.nn.one_hot(ri % 128, 128, dtype=jnp.int32)
         ), None
 
     out, _ = jax.lax.scan(
@@ -654,13 +655,21 @@ def streamed_build_b(
     dd_glob = jnp.concatenate(
         parts_d + [jnp.full((npad - total,), D, jnp.int32)]
     )
-    # doc renumbering over global occupancy
-    occ = (
-        jax.ops.segment_sum(
-            (dd_glob < D).astype(jnp.int32), dd_glob, num_segments=D + 1
-        )[:D]
-        > 0
+    # doc renumbering over global occupancy. dd_glob is non-decreasing
+    # (doc-ordered chunks, order-preserving compaction, pads last), so
+    # occupancy comes from kept-prefix sums sampled at doc boundaries
+    # via ONE searchsorted — a segment_sum with D+1 segments is the
+    # pattern CLAUDE.md flags as compiling pathologically at millions of
+    # segments (same derivation as hybrid._select_build_plan_full).
+    G = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum((dd_glob < D).astype(jnp.int32)),
+    ])
+    bounds = jnp.searchsorted(
+        dd_glob, jnp.arange(D + 1, dtype=dd_glob.dtype), side="left"
     )
+    kept_before = G[bounds]
+    occ = (kept_before[1:] - kept_before[:-1]) > 0
     new_doc = jnp.cumsum(occ.astype(jnp.int32)) - 1
     nz_docs = int(occ.sum())
     original_cols = np.flatnonzero(np.asarray(occ)).astype(np.int32)
@@ -974,6 +983,10 @@ class StreamedTrainer:
 
         key, sub_eig = jax.random.split(key)
         key, sub_seed = jax.random.split(key)
+        # survives an OOM retry: the eigensolve is the most expensive
+        # middle stage and must not re-run when the first attempt
+        # completed it before dying in the hybrid build / k-means
+        middle_state: dict = {}
 
         def run_middle(head_budget: int):
             Bh = B
@@ -999,6 +1012,11 @@ class StreamedTrainer:
                 evalues = ck["svd"]["evalues"]
                 U = jnp.asarray(ck["svd"]["U"])
                 t.logger.info("resumed eigenvectors from 'svd' checkpoint")
+            elif "U" in middle_state:
+                evalues, U = middle_state["evalues"], middle_state["U"]
+                t.logger.info(
+                    "reusing eigenvectors from the pre-OOM attempt"
+                )
             else:
                 # Shared solver dispatch — honors hyper.eigensolver
                 # (block_ks / lanczos / dense) exactly like the in-core
@@ -1015,6 +1033,7 @@ class StreamedTrainer:
                     "svd", U=np.asarray(U), evalues=evalues,
                     zetas=np.asarray(zetas), original_cols=original_cols,
                 )
+                middle_state["evalues"], middle_state["U"] = evalues, U
 
             P = mat_bt_x(Bh, U, cfg.tpu.spmm_chunk).T
             seeds, centers_lowd, _ = kmeans_init_on_projected(
@@ -1034,11 +1053,13 @@ class StreamedTrainer:
                 from .elkans import run_elkans
 
                 centers_full, assign = run_elkans(
-                    Bh, centers_full, hp.max_kmeans_reps, timer=t.timer
+                    Bh, centers_full, hp.max_kmeans_reps, timer=t.timer,
+                    chunk=cfg.tpu.spmm_chunk,
                 )
             else:
                 centers_full, assign = run_lloyds_full(
-                    Bh, centers_full, hp.max_kmeans_reps
+                    Bh, centers_full, hp.max_kmeans_reps,
+                    chunk=cfg.tpu.spmm_chunk,
                 )
             return evalues, U, centers_full, assign
 

@@ -273,8 +273,10 @@ def sharded_streamed_thresholds(
         def body(acc, sc):
             wi, ri = sc
             row = wi * nbanks + ri // 128
+            # int32 bins (see thresholds._hist_banked: f32 saturates at
+            # 2^24)
             return acc.at[row].add(
-                jax.nn.one_hot(ri % 128, 128, dtype=jnp.float32)), None
+                jax.nn.one_hot(ri % 128, 128, dtype=jnp.int32)), None
 
         out, _ = jax.lax.scan(
             body, hist[0], (w.reshape(-1, sub), r.reshape(-1, sub)))
@@ -287,7 +289,7 @@ def sharded_streamed_thresholds(
     )(hist, *arrs, i), donate_argnums=(0,))
 
     hist = _put(mesh, np.zeros(
-        (loader.S, (V + 1) * nbanks, 128), np.float32))
+        (loader.S, (V + 1) * nbanks, 128), np.int32))
     for i in range(loader.max_chunks):
         hist = step(hist, loader.arrays(), jnp.int32(i))
 
@@ -854,6 +856,8 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
 
     key, sub_eig = jax.random.split(key)
     key, sub_seed = jax.random.split(key)
+    # survives an OOM retry (see streaming.py's middle_state)
+    middle_state: dict = {}
     slab_held = True
     head_bytes = cfg.tpu.dense_head_bytes
     # per-shard build temporaries scale with the padded per-shard tail
@@ -895,6 +899,9 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
             evalues = ck["svd"]["evalues"]
             U = jnp.asarray(ck["svd"]["U"])
             t.logger.info("resumed eigenvectors from 'svd' checkpoint")
+        elif "U" in middle_state:
+            evalues, U = middle_state["evalues"], middle_state["U"]
+            t.logger.info("reusing eigenvectors from the pre-OOM attempt")
         else:
             evalues, U, stats = solve_gram_eigens(
                 op_gram, V, k, B_op, cfg, sub_eig,
@@ -913,6 +920,7 @@ def train_sharded_streamed(st, resume: bool = False) -> None:
                 "svd", U=np.asarray(U), evalues=evalues,
                 zetas=np.asarray(zetas), original_cols=original_cols,
             )
+            middle_state["evalues"], middle_state["U"] = evalues, U
 
         P_mat = compact_doc_rows(op_bt_x(B_op, U), B).T
         seeds, centers_lowd, _ = kmeans_init_on_projected(

@@ -118,7 +118,7 @@ def banked_hist(
     F: int,
     chunk: int = 1 << 20,
 ) -> jax.Array:
-    """(num_rows, F+1) float32 histogram of integer values r in [0, F]
+    """(num_rows, F+1) int32 histogram of integer values r in [0, F]
     keyed by `words`, as chunked 128-wide one-hot scatters.
 
     Two compile/runtime hazards shape this: a flat segment_sum over
@@ -139,12 +139,15 @@ def banked_hist(
     def body(acc, args):
         w, rr = args
         row = w * nbanks + rr // 128
-        g = jax.nn.one_hot(rr % 128, 128, dtype=jnp.float32)
+        # int32 bins: a float32 accumulator silently stops counting a
+        # bin at 2^24 entries (x + 1.0 == x), undercounting thresholds
+        # on >16.7M-doc corpora with no error.
+        g = jax.nn.one_hot(rr % 128, 128, dtype=jnp.int32)
         return acc.at[row].add(g), None
 
     hist_f, _ = jax.lax.scan(
         body,
-        jnp.zeros((num_rows * nbanks, 128), jnp.float32),
+        jnp.zeros((num_rows * nbanks, 128), jnp.int32),
         (words.reshape(nchunks, chunk), r.reshape(nchunks, chunk)),
     )
     return hist_f.reshape(num_rows, nbanks * 128)[:, : F + 1]

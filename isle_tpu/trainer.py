@@ -460,11 +460,13 @@ class Trainer:
             from .elkans import run_elkans
 
             centers_full, assign = run_elkans(
-                B, centers_full, hp.max_kmeans_reps, timer=self.timer
+                B, centers_full, hp.max_kmeans_reps, timer=self.timer,
+                chunk=cfg.tpu.spmm_chunk,
             )
         else:
             centers_full, assign = run_lloyds_full(
-                B, centers_full, hp.max_kmeans_reps, timer=self.timer
+                B, centers_full, hp.max_kmeans_reps, timer=self.timer,
+                chunk=cfg.tpu.spmm_chunk,
             )
         self.centers = np.asarray(centers_full)
         self.timer.next("k-means on B")

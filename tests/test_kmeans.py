@@ -141,3 +141,23 @@ def test_kmeansmcmc_usable_at_larger_k():
     assert centers.shape == (64, 8)
     assert len(np.unique(np.asarray(idx))) > 32
     assert residual > 0
+
+
+def test_kmeanspp_terminates_when_points_exhausted():
+    """k > #distinct docs: once every distinct point is a center the D^2
+    mass is zero and the on-device while_loop used to spin forever
+    (round-4 review). The guard fills the remaining slots
+    deterministically and terminates; duplicates are the degenerate
+    answer."""
+    import jax
+
+    from isle_tpu.kmeans import kmeanspp_on_projected
+
+    P = jnp.asarray(
+        np.repeat(np.eye(3, dtype=np.float32), 4, axis=1)
+    )  # 12 docs, only 3 distinct points
+    centers, residual = kmeanspp_on_projected(P, 6, jax.random.PRNGKey(0))
+    c = np.asarray(centers)
+    assert c.shape == (6,)
+    assert ((c >= 0) & (c < 12)).all()
+    assert residual == 0.0 or residual >= 0.0
