@@ -58,7 +58,10 @@ def _sample_select(
     )[:num_docs]
     u = jax.random.uniform(key, (num_docs,), dtype=jnp.float32)
     dice = jnp.where(w > 0.0, jnp.power(u, 1.0 / jnp.maximum(w, 1e-30)), 0.0)
-    pivot = jnp.sort(dice)[::-1][pivot_index]
+    # Explicit clamp: sample_rate >= 1.0 gives pivot_index == num_docs,
+    # which previously kept all docs only via JAX's silent out-of-bounds
+    # gather clamp — make the keep-everything semantics deliberate.
+    pivot = jnp.sort(dice)[::-1][min(pivot_index, num_docs - 1)]
     return dice >= pivot
 
 

@@ -38,8 +38,12 @@ from .sparse import DocSparse
 def _count_scan(key, in_cluster, V: int, k: int):
     """(V+1, k) group-count matrix via chunked one-hot row scatters (flat
     many-segment segment_sum compiles pathologically on this TPU
-    toolchain; see thresholds.py). Rows keyed by the word-sorted copy are
-    non-decreasing, so the scatter marks indices_are_sorted."""
+    toolchain; see thresholds.py). int32 accumulator: f32 one-hot adds
+    silently stop counting a group at 2^24 entries. NO
+    indices_are_sorted: out-of-cluster entries carry the V*k spill key,
+    so wrow interleaves [.., w, V, w, ..] — a false sortedness promise
+    the real backend may exploit into wrong counts (round-4 review;
+    unsorted scatters measured the same speed anyway, CLAUDE.md)."""
     n_pad = key.shape[0]
     cchunk = max(min(1 << 19, n_pad), 1)
     while n_pad % cchunk:
@@ -49,16 +53,16 @@ def _count_scan(key, in_cluster, V: int, k: int):
         kk, ic = args
         wrow = kk // k
         col = kk % k
-        g = jax.nn.one_hot(col, k, dtype=jnp.float32)
+        g = jax.nn.one_hot(col, k, dtype=jnp.int32)
         g = g * ic[:, None]
-        return acc.at[wrow].add(g, indices_are_sorted=True), None
+        return acc.at[wrow].add(g), None
 
     cm, _ = jax.lax.scan(
         count_body,
-        jnp.zeros((V + 1, k), jnp.float32),
+        jnp.zeros((V + 1, k), jnp.int32),
         (
             key.reshape(n_pad // cchunk, cchunk),
-            in_cluster.astype(jnp.float32).reshape(n_pad // cchunk, cchunk),
+            in_cluster.astype(jnp.int32).reshape(n_pad // cchunk, cchunk),
         ),
     )
     return cm
@@ -77,6 +81,20 @@ def _entry_groups(A: DocSparse, cluster_of_doc, k: int):
     return key, in_cluster
 
 
+def _group_selection(counts2, csz_row, r: int):
+    """Selected-group predicate, the SINGLE source for both jitted passes
+    (pass 1 derives per-entry compaction positions from it, pass 2
+    derives group start offsets — they silently corrupt if they ever
+    diverge): a group is selected when count > r, or in the degenerate
+    full-cluster case where the reference reads the group minimum.
+    Returns (selected, degenerate), both shaped like counts2."""
+    degenerate = (
+        (counts2 <= r) & (r >= csz_row) & (counts2 == csz_row)
+        & (csz_row > 0)
+    )
+    return (counts2 > r) | degenerate, degenerate
+
+
 @partial(jax.jit, static_argnames=("num_topics", "r"))
 def _rth_classify(
     A: DocSparse, cluster_of_doc, cluster_sizes, num_topics: int, r: int
@@ -86,11 +104,10 @@ def _rth_classify(
     the selected-entry total."""
     V, k = A.vocab, num_topics
     key, in_cluster = _entry_groups(A, cluster_of_doc, k)
-    counts2 = _count_scan(key, in_cluster, V, k)[:V].astype(jnp.int32)
-    csz = cluster_sizes[None, :]
-    degenerate = (counts2 <= r) & (r >= csz) & (counts2 == csz) & (csz > 0)
+    counts2 = _count_scan(key, in_cluster, V, k)[:V]
+    sel, _ = _group_selection(counts2, cluster_sizes[None, :], r)
     sel_flat = jnp.concatenate(
-        [((counts2 > r) | degenerate).reshape(V * k),
+        [sel.reshape(V * k),
          jnp.zeros((k,), bool)]  # spill groups never selected
     )
     selm = sel_flat[key]
@@ -119,22 +136,15 @@ def _rth_select(
     # order (a searchsorted over the V*k group ids measured ~2-3 s at
     # the NYTimes shape — 10M binary searches; the cumsum is free).
     cntf = counts2.reshape(V * k)
-    csz_f = jnp.broadcast_to(
-        cluster_sizes[None, :], (V, k)
-    ).reshape(V * k)
-    sel_f = (cntf > r) | (
-        (cntf <= r) & (r >= csz_f) & (cntf == csz_f) & (csz_f > 0)
-    )
-    sizes_sel = jnp.where(sel_f, cntf, 0)
+    sel, degenerate = _group_selection(counts2, cluster_sizes[None, :], r)
+    sizes_sel = jnp.where(sel.reshape(V * k), cntf, 0)
     starts = (jnp.cumsum(sizes_sel) - sizes_sel).astype(jnp.int32)
     rth = sval[jnp.clip(starts + (r - 1), 0, Mp - 1)]
     gmin = sval[jnp.clip(starts + cntf - 1, 0, Mp - 1)]
 
     rth = rth.reshape(V, k)
     gmin = gmin.reshape(V, k)
-    csz = cluster_sizes[None, :]
     thr = jnp.where(counts2 > r, rth, 0.0)
-    degenerate = (counts2 <= r) & (r >= csz) & (counts2 == csz) & (csz > 0)
     thr = jnp.where(degenerate, gmin, thr)
     return thr.T.astype(jnp.float32)  # (k, vocab)
 

@@ -98,9 +98,16 @@ class Corpus:
         ds = np.full(self.num_docs, np.float32(empty_value), np.float32)
         if self.nnz:
             lengths = np.diff(self.offsets)
-            s = np.add.reduceat(
-                self.counts.astype(np.float32),
-                np.minimum(self.offsets[:-1], self.nnz - 1),
+            # Boundary-sampled cumsum, NOT reduceat: reduceat requires
+            # indices < nnz, and clamping trailing-empty-doc offsets to
+            # nnz-1 silently stole entries from the LAST non-empty doc's
+            # sum (round-4 review, confirmed). f64 accumulate is exact
+            # for integer counts.
+            cs = np.concatenate(
+                [[0.0], np.cumsum(self.counts, dtype=np.float64)]
+            )
+            s = (cs[self.offsets[1:]] - cs[self.offsets[:-1]]).astype(
+                np.float32
             )
             s[lengths == 0] = empty_value
             ds[:] = s
@@ -181,12 +188,14 @@ class Corpus:
 
         fcounts = counts.astype(np.float32)
         doc_sums = np.zeros(num_docs, dtype=np.float32)
-        # Per-doc sums; use segmented reduce via reduceat on non-empty range.
+        # Per-doc sums via boundary-sampled cumsum (see doc_sums(): the
+        # old reduceat clamp corrupted the last non-empty doc's sum
+        # whenever trailing empty docs exist).
         if nnz:
-            doc_sums = np.add.reduceat(
-                fcounts, np.minimum(offsets[:-1], nnz - 1)
-            ).astype(np.float32)
-            doc_sums[np.diff(offsets) == 0] = 0.0
+            cs = np.concatenate([[0.0], np.cumsum(counts, dtype=np.float64)])
+            doc_sums = (cs[offsets[1:]] - cs[offsets[:-1]]).astype(
+                np.float32
+            )
 
         nz_mask = np.diff(offsets) > 0
         nz_docs = int(nz_mask.sum())

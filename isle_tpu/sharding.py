@@ -400,21 +400,23 @@ def sharded_rth_highest(
 
         def body(acc, args):
             kk, ic = args
-            g = jax.nn.one_hot(kk % k, k, dtype=jnp.float32) * ic[:, None]
+            # int32 accumulator (see catchwords._count_scan: f32 one-hot
+            # adds saturate at 2^24 entries per group)
+            g = jax.nn.one_hot(kk % k, k, dtype=jnp.int32) * ic[:, None]
             return acc.at[kk // k].add(g), None
 
-        init = _pvary(jnp.zeros((wps + 1, k), jnp.float32))
+        init = _pvary(jnp.zeros((wps + 1, k), jnp.int32))
         cm, _ = jax.lax.scan(
             body,
             init,
             (
                 key.reshape(n // chunk, chunk),
-                in_cluster.astype(jnp.float32).reshape(n // chunk, chunk),
+                in_cluster.astype(jnp.int32).reshape(n // chunk, chunk),
             ),
         )
         counts = jnp.concatenate(
-            [cm[:wps].reshape(wps * k), jnp.zeros((k,), jnp.float32)]
-        ).astype(jnp.int32)
+            [cm[:wps].reshape(wps * k), jnp.zeros((k,), jnp.int32)]
+        )
         starts = jnp.cumsum(counts) - counts
         rth = sval[jnp.clip(starts + (r - 1), 0, n - 1)]
         gmin = sval[jnp.clip(starts + counts - 1, 0, n - 1)]

@@ -185,7 +185,24 @@ class DocSparse:
         offsets/doc-sum vectors) and reconstructs doc ids, normalized
         values, and the word-sorted copy ON DEVICE — ~5x fewer bytes than
         shipping both fully-materialized sort orders."""
-        if not compact_upload or corpus.counts is None or corpus.nnz == 0:
+        # The device rebuild recomputes vals as avg * (count / doc_sum);
+        # guard that this reproduces corpus.vals bitwise (same check as
+        # streaming's loaders and mwu.build_infer_batch) — otherwise
+        # (use_int_normalized_counts, normalize_to_one, custom vals) fall
+        # back to the full materialized upload. Round-4 review: this was
+        # the one compact path missing the guard, silently training on
+        # wrong values when the int-normalized flag was on.
+        avg = np.float32(corpus.avg_doc_sz)
+        compact_ok = (
+            compact_upload
+            and corpus.counts is not None
+            and corpus.nnz > 0
+            and bool(np.all(corpus.counts == np.floor(corpus.counts)))
+            and corpus.vals_match(
+                lambda c, ds: avg * (c.astype(np.float32) / ds)
+            )
+        )
+        if not compact_ok:
             return DocSparse.build(
                 corpus.rows,
                 corpus.doc_ids(),

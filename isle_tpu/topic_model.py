@@ -50,7 +50,9 @@ def doc_topic_mass(
     k = num_topics
     D = A.num_docs
     cwt = jnp.concatenate([cw_topic, jnp.full((1,), -1, jnp.int32)])
-    chunk = min(chunk, A.padded_nnz)
+    chunk = max(min(chunk, A.padded_nnz), 1)
+    while A.padded_nnz % chunk:  # divide down to a divisor of the pad
+        chunk //= 2
     n = A.padded_nnz // chunk
     words = A.d_word.reshape(n, chunk)
     docs = A.d_doc.reshape(n, chunk)
@@ -158,6 +160,7 @@ def construct_topic_model(
     num_topics: int,
     rank_threshold: int,
     want_top_pairs: bool = False,
+    chunk: int = 1 << 20,
 ):
     """Returns (Model (vocab, k) l1-normalized, (t1, t2, valid) or None).
 
@@ -168,11 +171,11 @@ def construct_topic_model(
         jnp.maximum(cw_topic, 0),
         num_segments=num_topics,
     ) > 0
-    mass = doc_topic_mass(A, cw_topic, num_topics)
+    mass = doc_topic_mass(A, cw_topic, num_topics, chunk)
     thr = model_thresholds(mass, has_cw, rank_threshold)
     pairs = top_two_topics(mass) if want_top_pairs else None
     W = _contribution_weights(mass, thr, cluster_of_doc)
-    model = b_y(A, W)  # (vocab, k)
+    model = b_y(A, W, chunk)  # (vocab, k)
     sums = jnp.sum(model, axis=0)
     model = jnp.where(sums[None, :] != 0.0, model / sums[None, :], model)
     return model, pairs

@@ -158,6 +158,7 @@ class Trainer:
         self.catchwords: Optional[List[np.ndarray]] = None
         self.top_pairs = None
         self.original_cols: Optional[np.ndarray] = None
+        self._report_A: Optional[DocSparse] = None
 
     # ------------------------------------------------------------------
     # Ingest (the three data_ingest modes, include/trainer.h:92-95)
@@ -199,6 +200,19 @@ class Trainer:
         self.corpus = load_preprocessed(prefix)
         self._post_ingest()
         self.timer.next("load preprocessed data")
+
+    def _device_A(self) -> DocSparse:
+        """Cached device corpus for the post-train reporting stages.
+        Each DocSparse.from_corpus re-uploads the full corpus (encode +
+        wire, ~150 s at PubMed over this tunnel); output_doc_topic,
+        output_avg_topic_coherence, and compute_input_svd share one
+        upload. Populated lazily so the TRAINING HBM profile is
+        unchanged (training releases its own A after B is built)."""
+        if self._report_A is None:
+            self._report_A = DocSparse.from_corpus(
+                self.corpus, chunk=self.config.tpu.spmm_chunk
+            )
+        return self._report_A
 
     def _warm_start_block(self, V: int):
         """Restart-warm eigen (tpu.eigen_warm_start): the previous run's
@@ -515,6 +529,7 @@ class Trainer:
             k,
             hp.model_rank_threshold(D, k),
             want_top_pairs=want_pairs,
+            chunk=cfg.tpu.spmm_chunk,
         )
         self.model = np.asarray(model)
         extra = {}
@@ -908,8 +923,10 @@ class Trainer:
         # Doc-topic catchword mass on device (one chunked scatter kernel —
         # the host np.add.at pass over every nnz took seconds at corpus
         # scale on this 1-core host).
-        A = DocSparse.from_corpus(self.corpus, chunk=self.config.tpu.spmm_chunk)
-        mass = np.asarray(doc_topic_mass(A, jnp.asarray(cwt), k))
+        A = self._device_A()
+        mass = np.asarray(doc_topic_mass(
+            A, jnp.asarray(cwt), k, self.config.tpu.spmm_chunk
+        ))
         dd, tt = np.nonzero(mass)
         vv = mass[dd, tt]
         order = np.lexsort((-vv, tt))
@@ -960,7 +977,7 @@ class Trainer:
 
         cfg = self.config
         k = cfg.num_topics
-        A = DocSparse.from_corpus(self.corpus, chunk=cfg.tpu.spmm_chunk)
+        A = self._device_A()
         cwt = jnp.full((self.corpus.vocab_size,), -1, jnp.int32)
         avg_model, _ = construct_topic_model(
             A,
@@ -968,6 +985,7 @@ class Trainer:
             jnp.asarray(self.cluster_of_doc),
             k,
             cfg.hyper.model_rank_threshold(self.corpus.num_docs, k),
+            chunk=cfg.tpu.spmm_chunk,
         )
         avg_model = np.asarray(avg_model)
         nl_coherences = topic_coherence(
@@ -1032,7 +1050,7 @@ class Trainer:
         """Spectrum of the raw normalized matrix A — the reference's
         diagnostic dump (src/trainer.cpp:409-423). Writes
         A_squared_spectrum.txt and returns the squared singular values."""
-        A = DocSparse.from_corpus(self.corpus, chunk=self.config.tpu.spmm_chunk)
+        A = self._device_A()
         k = self.config.num_topics
         res = block_ks(
             lambda A_, X: mat_gram_x(A_, X, self.config.tpu.spmm_chunk),
@@ -1123,12 +1141,34 @@ class Trainer:
         self.is_training_complete = True
         return True
 
+    def _corpus_stamp(self) -> np.ndarray:
+        """(vocab, num_docs, nnz) fingerprint stamped into every stage
+        checkpoint: resuming with a checkpoint from a DIFFERENT corpus
+        (same config hash, changed data) would otherwise silently train
+        on stale zetas/U — e.g. a shorter checkpointed zetas vector makes
+        _keep_mask's clamped gather drop every word id beyond it with no
+        error."""
+        c = self.corpus
+        return np.array([c.vocab_size, c.num_docs, c.nnz], np.int64)
+
     def _load_checkpoints(self) -> dict:
         out = {}
+        stamp = self._corpus_stamp() if self.corpus is not None else None
         for stage in ("svd", "kmeans", "model"):
             path = os.path.join(self.run_dir, f"ckpt_{stage}.npz")
             if os.path.exists(path):
-                out[stage] = dict(np.load(path, allow_pickle=False))
+                ck = dict(np.load(path, allow_pickle=False))
+                got = ck.pop("corpus_stamp", None)
+                if (stamp is not None and got is not None
+                        and not np.array_equal(got, stamp)):
+                    raise ValueError(
+                        f"checkpoint '{stage}' in {self.run_dir} was "
+                        f"written for a different corpus "
+                        f"(vocab/docs/nnz {got.tolist()} vs "
+                        f"{stamp.tolist()}); delete the stale "
+                        "checkpoints or train without resume"
+                    )
+                out[stage] = ck
                 self.logger.diag(f"found checkpoint '{stage}' at {path}")
         return out
 
@@ -1137,5 +1177,8 @@ class Trainer:
         # UNcompressed: zlib on this 1-core host costs ~4-8 s per stage
         # for the ~40 MB float32 payloads (U, centers, model) for a ~10%
         # size saving — measured 0.09 s vs 4.4 s for the SVD checkpoint.
-        np.savez(path, **{k: v for k, v in arrays.items() if v is not None})
+        arrays = {k: v for k, v in arrays.items() if v is not None}
+        if self.corpus is not None:
+            arrays["corpus_stamp"] = self._corpus_stamp()
+        np.savez(path, **arrays)
         self.logger.diag(f"checkpointed stage '{stage}' -> {path}")

@@ -97,3 +97,20 @@ def test_trailing_empty_docs():
     c = Corpus.from_entries(docs, words, counts, vocab_size=1, num_docs=5)
     np.testing.assert_array_equal(c.offsets, [0, 1, 1, 1, 1, 1])
     assert c.nz_docs == 1 and c.avg_doc_sz == 7.0
+
+
+def test_trailing_empty_docs_doc_sums():
+    """Trailing empty docs must not corrupt the last non-empty doc's sum
+    (round-4 review, confirmed: the old reduceat clamp stole every entry
+    after the first from its sum, mis-normalizing inference blocks whose
+    final docs are empty)."""
+    c = Corpus.from_entries(
+        np.array([0, 0]), np.array([1, 2]), np.array([3, 5]),
+        vocab_size=4, num_docs=3,
+    )
+    np.testing.assert_array_equal(c.doc_sums(), [8.0, 1.0, 1.0])
+    c1 = Corpus.from_entries(
+        np.array([0, 0]), np.array([1, 2]), np.array([3, 5]),
+        vocab_size=4, num_docs=3, normalize_to_one=True,
+    )
+    np.testing.assert_allclose(c1.vals[:c1.nnz], [3 / 8, 5 / 8])

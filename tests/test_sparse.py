@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from isle_tpu.bmatrix import threshold_and_copy, threshold_and_copy_np
+from isle_tpu.corpus import Corpus
 from isle_tpu.sparse import DocSparse, b_y, bt_x, doc_l2sq, gram_x, to_dense
 
 
@@ -90,3 +91,25 @@ def test_sampled_threshold_and_copy():
     assert 0.15 * D <= B.num_docs <= 0.45 * D
     assert B.nnz < sp.nnz
     assert (np.diff(oc) > 0).all()
+
+
+def test_from_corpus_nondefault_normalization_falls_back():
+    """The compact device rebuild recomputes vals as avg*(count/doc_sum);
+    corpora normalized any other way (int_normalized, normalize_to_one)
+    must fall back to the full upload and reproduce corpus.vals exactly
+    (round-4 review, confirmed: int-normalized training silently used
+    non-ceil values)."""
+    rng = np.random.default_rng(0)
+    d = np.repeat(np.arange(20), 5)
+    w = np.tile(np.arange(5) * 3, 20)
+    c = rng.integers(1, 9, 100)
+    for kw in (dict(int_normalized=True), dict(normalize_to_one=True), {}):
+        corpus = Corpus.from_entries(
+            d, w, c, vocab_size=16, num_docs=20, **kw
+        )
+        sp = DocSparse.from_corpus(corpus, chunk=512)
+        dense = np.asarray(to_dense(sp))
+        ref = np.zeros((16, 20), np.float32)
+        n = corpus.nnz
+        ref[corpus.rows[:n], corpus.doc_ids()[:n]] = corpus.vals[:n]
+        np.testing.assert_array_equal(dense, ref, err_msg=str(kw))
