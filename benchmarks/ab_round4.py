@@ -49,6 +49,20 @@ def emit(obj):
 
 def run_leg(name: str, shape: dict, corpus, tpu_kwargs: dict,
             out_dir: str, warm: bool = True, seed: int = 0):
+    """One A/B leg; failures emit an error record instead of killing the
+    remaining legs (a capbreak compile-OOM must not eat the warmstart
+    measurement — learned the hard way)."""
+    try:
+        return _run_leg(name, shape, corpus, tpu_kwargs, out_dir,
+                        warm=warm, seed=seed)
+    except Exception as e:  # noqa: BLE001 — record and continue
+        emit(dict(leg=name, shape=shape, error=f"{type(e).__name__}: "
+                                               f"{str(e)[:400]}"))
+        return None
+
+
+def _run_leg(name: str, shape: dict, corpus, tpu_kwargs: dict,
+             out_dir: str, warm: bool = True, seed: int = 0):
     import jax
 
     from isle_tpu.config import TpuConfig, TrainConfig
@@ -94,6 +108,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--skip", default="")
+    ap.add_argument("--capbreak-mb", type=int, default=8192,
+                    help="dense_head_bytes for the capbreak leg, in MB")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 
@@ -128,7 +144,8 @@ def main():
     if "capbreak" not in skip and remaining() > 120:
         run_leg(
             "capbreak", shape, corpus,
-            dict(break_head_cap=True, dense_head_bytes=8192 << 20),
+            dict(break_head_cap=True,
+                 dense_head_bytes=args.capbreak_mb << 20),
             "/tmp/isle_ab_capbreak",
         )
 

@@ -103,10 +103,16 @@ def _scatter_head(rr, dd, vals, num_head: int, ncols: int, flat_cap: int):
         )
     nblocks = -(-ncols // block)
     dtype = jnp.bfloat16 if vals is None else jnp.float32
-    H = jnp.zeros((num_head, nblocks * block), dtype)
-    for b in range(nblocks):  # static unroll: nblocks is 2-4 in practice
-        lo = b * block
-        local = dd - jnp.int32(lo)
+
+    # fori_loop, NOT a static unroll: with unrolled dynamic_update_slice
+    # chains XLA materializes a padded full-width temp per update (~1.4x
+    # the head — observed 12 GB at R=14,316, D=300k: compile-time OOM on
+    # a 16 GB v5e). As a loop carry the head buffer is input/output
+    # -aliased and each slice update runs in place, so the peak is
+    # head + ONE block slab.
+    def body(b, H):
+        lo = b * jnp.int32(block)
+        local = dd - lo
         inb = (local >= 0) & (local < block) & (rr < num_head)
         rr_b = jnp.where(inb, rr, num_head)
         dd_b = jnp.where(inb, local, block)
@@ -117,7 +123,11 @@ def _scatter_head(rr, dd, vals, num_head: int, ncols: int, flat_cap: int):
         else:
             S = S.at[flat].add(vals)
         S = S.reshape(num_head + 1, block + 1)[:num_head, :block]
-        H = jax.lax.dynamic_update_slice(H, S, (0, lo))
+        return jax.lax.dynamic_update_slice(H, S, (jnp.int32(0), lo))
+
+    H = jax.lax.fori_loop(
+        0, nblocks, body, jnp.zeros((num_head, nblocks * block), dtype)
+    )
     return H[:, :ncols]
 
 
