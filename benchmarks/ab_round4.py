@@ -56,6 +56,9 @@ def run_leg(name: str, shape: dict, corpus, tpu_kwargs: dict,
         return _run_leg(name, shape, corpus, tpu_kwargs, out_dir,
                         warm=warm, seed=seed)
     except Exception as e:  # noqa: BLE001 — record and continue
+        import traceback
+
+        traceback.print_exc()
         emit(dict(leg=name, shape=shape, error=f"{type(e).__name__}: "
                                                f"{str(e)[:400]}"))
         return None
