@@ -95,16 +95,29 @@ def _group_selection(counts2, csz_row, r: int):
     return (counts2 > r) | degenerate, degenerate
 
 
-@partial(jax.jit, static_argnames=("num_topics", "r"))
+@partial(jax.jit, static_argnames=("num_topics", "r", "interpret"))
 def _rth_classify(
-    A: DocSparse, cluster_of_doc, cluster_sizes, num_topics: int, r: int
+    A: DocSparse, cluster_of_doc, cluster_sizes, num_topics: int, r: int,
+    plan=None, interpret: bool = False,
 ):
     """Pass 1: group counts, the selected-group flags (count > r, or the
     degenerate full-cluster case), per-entry compaction positions, and
-    the selected-entry total."""
+    the selected-entry total. With `plan` (pallas_ops.SegPlan on
+    A.w_word) the count pass runs as an MXU one-hot contraction:
+    out-of-cluster docs carry col = -1 (an all-zero one-hot row), so no
+    key interleaving or sortedness caveat arises."""
     V, k = A.vocab, num_topics
     key, in_cluster = _entry_groups(A, cluster_of_doc, k)
-    counts2 = _count_scan(key, in_cluster, V, k)[:V]
+    if plan is not None:
+        from .pallas_ops import segsum_onehot
+
+        cl = jnp.concatenate(
+            [cluster_of_doc, jnp.full((1,), -1, jnp.int32)]
+        )
+        col = cl[A.w_doc]
+        counts2 = segsum_onehot(plan, col, None, V, k, interpret)[:V, :k]
+    else:
+        counts2 = _count_scan(key, in_cluster, V, k)[:V]
     sel, _ = _group_selection(counts2, cluster_sizes[None, :], r)
     sel_flat = jnp.concatenate(
         [sel.reshape(V * k),
@@ -156,14 +169,18 @@ def rth_highest(
     num_topics: int,
     r: int,
     chunk: int = 1 << 20,
+    plan=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Returns thresholds (num_topics, vocab) float32. One host sync
-    between the passes fixes the compacted static shape."""
+    between the passes fixes the compacted static shape. `plan` is an
+    optional pallas_ops.SegPlan on A.w_word for the MXU count pass."""
     assert r >= 1, "r = 0 is undefined in the reference (vector[-1] read)"
     cluster_of_doc = jnp.asarray(cluster_of_doc, jnp.int32)
     cluster_sizes = jnp.asarray(cluster_sizes, jnp.int32)
     counts2, pos, m = _rth_classify(
-        A, cluster_of_doc, cluster_sizes, num_topics, r
+        A, cluster_of_doc, cluster_sizes, num_topics, r,
+        plan=plan, interpret=interpret,
     )
     M = int(m)
     Mp = max(((M + chunk - 1) // chunk) * chunk, 8)

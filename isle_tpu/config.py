@@ -165,15 +165,28 @@ class TpuConfig:
     # the target corpus first; round-3 arithmetic said a wash at the
     # synthetic NYT shape). Raise dense_head_bytes together with this.
     break_head_cap: bool = False
-    # NOTE on Pallas: there deliberately is no Pallas kernel knob. The
-    # pipeline's hot FLOPs run as MXU matmuls via the hybrid dense-head
-    # layout (measured 1.16 TFLOP/s on the SVD operator, BENCH_NOTES.md),
-    # where a hand kernel has no edge over XLA; the remaining tail is
-    # bound by the chip's random-row HBM access rate (~157 Mrows/s via
-    # XLA gather), which a Pallas per-row DMA loop cannot beat — DMA
-    # descriptor issue is scalar-core bound at ~30 cycles/row (~31
-    # Mrows/s), and the gather source (vocab x 128 f32 ~ 52 MB) exceeds
-    # the 16 MB VMEM so tiling multiplies index passes. See TODO.md.
+    # Pallas MXU segment-sum kernels for the full-entry accumulation
+    # scatters (threshold histogram, doc-topic mass, r-th group counts,
+    # the model SpMM's scatter half): per 2048-entry chunk the segment
+    # one-hot is built IN VMEM and contracted on the MXU, emitting only
+    # (rcap, width) partials — measured 2.6-3.2x over the XLA scatter
+    # at the census'd rcap 16-64 (benchmarks/micro_pallas.py,
+    # rcap_census.py). "auto" = compiled kernels on TPU backends, XLA
+    # scatters elsewhere; "on" = force (pallas interpret mode off-TPU —
+    # the CPU test path); "off" = XLA scatters everywhere. Streams
+    # whose measured rcap exceeds the kernel contract fall back to XLA
+    # per matrix. Default "off" pending the hardware stage A/B
+    # (benchmarks/ab_pallas.py); flip to "auto" once measured.
+    # NOT applied to the hybrid tail ops: their octet
+    # layout already cut the scatter 8x and they are gather-bound
+    # (~157 Mrows/s XLA row gather; the pallas per-row DMA gather
+    # measured 4-6x SLOWER — micro_pallas_gather.py — so the gather
+    # half stays on XLA everywhere).
+    pallas_segsum: str = "off"
+    # Entries per pallas segment-sum chunk (the rcap contract is
+    # measured against this; larger chunks cut grid overhead but grow
+    # rcap roughly linearly).
+    pallas_chunk: int = 2048
     # Run the eigensolver's restart loop on-device in one lax.while_loop
     # (no per-restart host syncs); False uses the host-driven loop with
     # per-restart diagnostics.

@@ -157,7 +157,7 @@ def banked_hist(
     jax.jit,
     static_argnames=(
         "vocab_size", "F", "count_gr", "count_eq", "chunk",
-        "few_drop", "bad_drop",
+        "few_drop", "bad_drop", "interpret",
     ),
 )
 def _compute_thresholds_jax(
@@ -170,11 +170,24 @@ def _compute_thresholds_jax(
     chunk: int = 1 << 20,
     few_drop: bool = False,
     bad_drop: bool = False,
+    plan=None,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     r_all = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
-    hist = banked_hist(words, r_all, vocab_size + 1, F, chunk)[
-        :vocab_size
-    ].astype(jnp.int32)
+    if plan is not None:
+        # Pallas MXU histogram over the WORD-sorted stream (words/vals
+        # must then be the w_* arrays the plan was built from): both
+        # one-hots are exact 0/1 so the counts are exact int32; padded
+        # entries land on the spill word row. See pallas_ops.py.
+        from .pallas_ops import segsum_onehot
+
+        hist = segsum_onehot(
+            plan, r_all, None, vocab_size, F + 1, interpret
+        )[:vocab_size, : F + 1]
+    else:
+        hist = banked_hist(words, r_all, vocab_size + 1, F, chunk)[
+            :vocab_size
+        ].astype(jnp.int32)
     hist = hist.at[:, 0].set(0)
     zeta, nnz_w = _zeta_from_hist(
         hist, count_gr, count_eq, jnp, few_drop=few_drop, bad_drop=bad_drop
@@ -190,9 +203,14 @@ def compute_thresholds_jax(
     nz_docs: int,
     num_topics: int,
     hyper,
+    plan=None,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device ζ computation. `words` may include padded entries with id ==
-    vocab_size (their values are ignored via a spill histogram row)."""
+    vocab_size (their values are ignored via a spill histogram row).
+    With `plan` (a pallas_ops.SegPlan built on the word-sorted stream),
+    words/vals MUST be that same stream and the histogram runs on the
+    MXU instead of the banked one-hot scatter."""
     return _compute_thresholds_jax(
         words,
         vals,
@@ -202,4 +220,6 @@ def compute_thresholds_jax(
         hyper.count_eq(nz_docs, num_topics),
         few_drop=hyper.few_samples_threshold_drop,
         bad_drop=hyper.bad_threshold_drop,
+        plan=plan,
+        interpret=interpret,
     )

@@ -39,17 +39,31 @@ import numpy as np
 from .sparse import DocSparse, b_y
 
 
-@partial(jax.jit, static_argnames=("num_topics", "chunk"))
+@partial(jax.jit, static_argnames=("num_topics", "chunk", "interpret"))
 def doc_topic_mass(
     A: DocSparse,
     cw_topic: jax.Array,  # (vocab,) int32 owning topic per word, -1 else
     num_topics: int,
     chunk: int = 1 << 20,
+    plan=None,
+    interpret: bool = False,
 ) -> jax.Array:
-    """(num_docs, num_topics) catchword mass per doc."""
+    """(num_docs, num_topics) catchword mass per doc. `plan` is an
+    optional pallas_ops.SegPlan on A.d_doc: the mass then accumulates
+    as MXU one-hot contractions (doc-rank one-hot x val-scaled topic
+    one-hot, both in VMEM) instead of the flat scalar scatter — this
+    path also has no (D+1)*k int32 flat-index cap (partials scatter as
+    rows keyed by doc id)."""
     k = num_topics
     D = A.num_docs
     cwt = jnp.concatenate([cw_topic, jnp.full((1,), -1, jnp.int32)])
+    if plan is not None:
+        from .pallas_ops import segsum_onehot
+
+        col = cwt[A.d_word]  # -1 (non-catchword/pad) -> all-zero one-hot
+        return segsum_onehot(
+            plan, col, A.d_val, D, k, interpret
+        )[:D, :k]
     chunk = max(min(chunk, A.padded_nnz), 1)
     while A.padded_nnz % chunk:  # divide down to a divisor of the pad
         chunk //= 2
@@ -161,21 +175,33 @@ def construct_topic_model(
     rank_threshold: int,
     want_top_pairs: bool = False,
     chunk: int = 1 << 20,
+    plan_d=None,
+    plan_w=None,
+    interpret: bool = False,
 ):
     """Returns (Model (vocab, k) l1-normalized, (t1, t2, valid) or None).
 
     `cluster_of_doc` maps ORIGINAL doc ids to their k-means topic (-1 for
-    docs dropped by thresholding/sampling)."""
+    docs dropped by thresholding/sampling). `plan_d`/`plan_w` are
+    optional pallas_ops.SegPlans on A.d_doc / A.w_word routing the mass
+    accumulation and the model SpMM's scatter half onto the MXU."""
     has_cw = jax.ops.segment_sum(
         (cw_topic >= 0).astype(jnp.int32),
         jnp.maximum(cw_topic, 0),
         num_segments=num_topics,
     ) > 0
-    mass = doc_topic_mass(A, cw_topic, num_topics, chunk)
+    mass = doc_topic_mass(
+        A, cw_topic, num_topics, chunk, plan=plan_d, interpret=interpret
+    )
     thr = model_thresholds(mass, has_cw, rank_threshold)
     pairs = top_two_topics(mass) if want_top_pairs else None
     W = _contribution_weights(mass, thr, cluster_of_doc)
-    model = b_y(A, W, chunk)  # (vocab, k)
+    if plan_w is not None:
+        from .pallas_ops import b_y_plan
+
+        model = b_y_plan(A, W, plan_w, interpret)  # (vocab, k)
+    else:
+        model = b_y(A, W, chunk)  # (vocab, k)
     sums = jnp.sum(model, axis=0)
     model = jnp.where(sums[None, :] != 0.0, model / sums[None, :], model)
     return model, pairs

@@ -214,6 +214,26 @@ class Trainer:
             )
         return self._report_A
 
+    def _pallas_plans(self, A: DocSparse):
+        """(interpret_mode, plan_d, plan_w) for the pallas segment-sum
+        kernels on this DocSparse (pallas_ops.py; gated by
+        TpuConfig.pallas_segsum). Plans are cached against the exact A
+        instance — they encode per-chunk run ranks of A.d_doc / A.w_word
+        and silently corrupt on any other stream. Either plan may be
+        None (rcap contract overflow) independently; callers fall back
+        to the XLA scatters per stage."""
+        from .pallas_ops import pallas_mode, plan_segments
+
+        pmode = pallas_mode(self.config.tpu)
+        if pmode is None:
+            return None, None, None
+        if getattr(self, "_plan_A", None) is not A:
+            c = self.config.tpu.pallas_chunk
+            self._plan_d = plan_segments(A.d_doc, A.num_docs, c)
+            self._plan_w = plan_segments(A.w_word, A.vocab, c)
+            self._plan_A = A
+        return pmode, self._plan_d, self._plan_w
+
     def _warm_start_block(self, V: int):
         """Restart-warm eigen (tpu.eigen_warm_start): the previous run's
         checkpointed U seeds the Krylov start block when its shape still
@@ -314,15 +334,24 @@ class Trainer:
             self.original_cols = ck["svd"]["original_cols"]
             self.logger.info("resumed thresholds from 'svd' checkpoint")
         else:
-            zetas, new_nnz = compute_thresholds_jax(
-                A.d_word,
-                A.d_val,
-                V,
-                self.corpus.avg_doc_sz,
-                self.corpus.nz_docs,
-                k,
-                hp,
-            )
+            pmode, _, plan_w = self._pallas_plans(A)
+            if plan_w is not None:
+                # pallas histogram runs on the word-sorted stream
+                zetas, new_nnz = compute_thresholds_jax(
+                    A.w_word, A.w_val, V, self.corpus.avg_doc_sz,
+                    self.corpus.nz_docs, k, hp,
+                    plan=plan_w, interpret=bool(pmode),
+                )
+            else:
+                zetas, new_nnz = compute_thresholds_jax(
+                    A.d_word,
+                    A.d_val,
+                    V,
+                    self.corpus.avg_doc_sz,
+                    self.corpus.nz_docs,
+                    k,
+                    hp,
+                )
             self.logger.info(f"Entries above threshold: {int(new_nnz)}")
             self.timer.next("computing thresholds")
 
@@ -507,8 +536,10 @@ class Trainer:
                 f"catchword rank r={r} < 1 (tiny corpus); clamping to 1"
             )
             r = 1
+        pmode, plan_d, plan_w = self._pallas_plans(A)
         thr = rth_highest(
-            A, jnp.asarray(cluster_of_doc), jnp.asarray(sizes), k, r
+            A, jnp.asarray(cluster_of_doc), jnp.asarray(sizes), k, r,
+            plan=plan_w, interpret=bool(pmode),
         )
         self.catchword_thresholds = np.asarray(thr)
         self.timer.next("collecting word freqs in clusters")
@@ -530,6 +561,9 @@ class Trainer:
             hp.model_rank_threshold(D, k),
             want_top_pairs=want_pairs,
             chunk=cfg.tpu.spmm_chunk,
+            plan_d=plan_d,
+            plan_w=plan_w,
+            interpret=bool(pmode),
         )
         self.model = np.asarray(model)
         extra = {}
@@ -924,8 +958,10 @@ class Trainer:
         # the host np.add.at pass over every nnz took seconds at corpus
         # scale on this 1-core host).
         A = self._device_A()
+        pmode, plan_d, _ = self._pallas_plans(A)
         mass = np.asarray(doc_topic_mass(
-            A, jnp.asarray(cwt), k, self.config.tpu.spmm_chunk
+            A, jnp.asarray(cwt), k, self.config.tpu.spmm_chunk,
+            plan=plan_d, interpret=bool(pmode),
         ))
         dd, tt = np.nonzero(mass)
         vv = mass[dd, tt]
@@ -978,6 +1014,7 @@ class Trainer:
         cfg = self.config
         k = cfg.num_topics
         A = self._device_A()
+        pmode, plan_d, plan_w = self._pallas_plans(A)
         cwt = jnp.full((self.corpus.vocab_size,), -1, jnp.int32)
         avg_model, _ = construct_topic_model(
             A,
@@ -986,6 +1023,9 @@ class Trainer:
             k,
             cfg.hyper.model_rank_threshold(self.corpus.num_docs, k),
             chunk=cfg.tpu.spmm_chunk,
+            plan_d=plan_d,
+            plan_w=plan_w,
+            interpret=bool(pmode),
         )
         avg_model = np.asarray(avg_model)
         nl_coherences = topic_coherence(
