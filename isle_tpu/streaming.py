@@ -558,7 +558,11 @@ def streamed_thresholds(
     V = corpus.vocab_size
     F = freq_bound(corpus.avg_doc_sz)
     nbanks = (F + 1 + 127) // 128
-    hist = jnp.zeros(((V + 1) * nbanks, 128), jnp.float32)
+    # int32 bins, like _hist_accum's updates and the sharded variants: a
+    # float32 accumulator silently stops counting a bin at 2^24 (latent
+    # here — per-(word, value) counts are bounded by num_docs — but the
+    # f32 init contradicted the invariant every other histogram keeps).
+    hist = jnp.zeros(((V + 1) * nbanks, 128), jnp.int32)
     load = loader if loader is not None else make_chunk_loader(
         corpus, chunk_entries)
     for i, (lo, hi) in enumerate(doc_chunks(corpus, chunk_entries)):
