@@ -175,14 +175,20 @@ class TpuConfig:
     # scatters elsewhere; "on" = force (pallas interpret mode off-TPU —
     # the CPU test path); "off" = XLA scatters everywhere. Streams
     # whose measured rcap exceeds the kernel contract fall back to XLA
-    # per matrix. Default "off" pending the hardware stage A/B
-    # (benchmarks/ab_pallas.py); flip to "auto" once measured.
+    # per matrix. Measured at the NYTimes bench shape on v5e-1
+    # (benchmarks/ab_pallas.py, warm isolated): thresholds hist
+    # 814 -> 145 ms, doc_topic_mass 868 -> 545 ms, rth 2924 -> 2219 ms,
+    # model b_y 783 -> 653 ms — exact-match/1e-7..3e-5 vs the XLA
+    # results ON HARDWARE. Applies to the single-device in-core path
+    # and its reporting stages; streamed/sharded accumulators keep XLA
+    # scatters (their per-chunk streams are doc-sorted where the
+    # scatter keys by word, and their floors are decode/wire-bound).
     # NOT applied to the hybrid tail ops: their octet
     # layout already cut the scatter 8x and they are gather-bound
     # (~157 Mrows/s XLA row gather; the pallas per-row DMA gather
     # measured 4-6x SLOWER — micro_pallas_gather.py — so the gather
     # half stays on XLA everywhere).
-    pallas_segsum: str = "off"
+    pallas_segsum: str = "auto"
     # Entries per pallas segment-sum chunk (the rcap contract is
     # measured against this; larger chunks cut grid overhead but grow
     # rcap roughly linearly).
