@@ -46,6 +46,24 @@ _START = time.monotonic()
 # is too tight to run it.
 PINNED_CPU_EST = {"nytimes": 6018.1}
 
+# Last on-hardware measurements, attached (clearly labeled) to the error
+# artifact when the backend is unreachable at capture time, so an outage
+# still leaves the record pointing at the most recent real numbers
+# instead of only a null. NOT used as the bench value — `value` stays
+# null on failure. Provenance: BENCH_NOTES.md round-4 hardware section
+# (benchmarks/ab_round4.py, v5e-1, 2026-08-18).
+LAST_HW = {
+    "nytimes": {
+        "warm_train_s": 43.0,
+        "warm_nonwire_s": 32.0,
+        "cold_train_s": 289.0,
+        "measured": "2026-08-18 v5e-1 (benchmarks/ab_round4.py; "
+                    "wire was 3x degraded that day — round-3 warm was "
+                    "36.3-37.0 s at a 3.3-3.9 s wire)",
+        "source": "BENCH_NOTES.md round-4 hardware results",
+    }
+}
+
 _emitted = False
 _partial: dict = {}
 
@@ -62,7 +80,7 @@ def emit(obj: dict) -> None:
 
 
 def _fail_json(label: str, shape: dict, error: str) -> dict:
-    return {
+    out = {
         "metric": (
             f"e2e train wall-clock, synthetic {label} "
             f"({shape['vocab']} vocab x {shape['docs']} docs, k={shape['k']})"
@@ -73,6 +91,9 @@ def _fail_json(label: str, shape: dict, error: str) -> dict:
         "error": error,
         "partial": dict(_partial),
     }
+    if label in LAST_HW:
+        out["last_hw_measurement"] = LAST_HW[label]
+    return out
 
 
 def _install_kill_handler(label: str, shape: dict) -> None:
