@@ -24,6 +24,10 @@ def main(argv=None) -> int:
         )
         return 1
 
+    from isle_tpu.cli import apply_platform_env
+
+    apply_platform_env()
+
     from isle_tpu.config import InferConfig
     from isle_tpu.inferencer import Inferencer
     from isle_tpu.obs import enable_compilation_cache

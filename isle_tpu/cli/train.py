@@ -29,6 +29,10 @@ def main(argv=None) -> int:
         )
         return 1
 
+    from isle_tpu.cli import apply_platform_env
+
+    apply_platform_env()
+
     from isle_tpu.config import TrainConfig
     from isle_tpu.obs import enable_compilation_cache
     from isle_tpu.trainer import Trainer

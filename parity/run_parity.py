@@ -27,18 +27,39 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+sys.path.insert(0, HERE)
+sys.path.insert(0, REPO)
 
 CONFIGS = {
     "kos": dict(k=10, sample=0, rate=0.0, edge=1, max_edge=100),
     "nips": dict(k=50, sample=0, rate=0.0, edge=1, max_edge=100),
     "enron": dict(k=100, sample=0, rate=0.0, edge=1, max_edge=1000),
     "nytimes": dict(k=100, sample=0, rate=0.0, edge=1, max_edge=2000),
+    # Synthetic stand-ins (UCI egress is blocked here): deterministic
+    # Zipf(1)+planted-band corpora from parity/synth_data.py at KOS/NIPS
+    # scale. k matches the synthetic generator's declared k.
+    "tiny-syn": dict(k=5, sample=0, rate=0.0, edge=1, max_edge=20),
+    "kos-syn": dict(k=10, sample=0, rate=0.0, edge=1, max_edge=100),
+    "nips-syn": dict(k=50, sample=0, rate=0.0, edge=1, max_edge=100),
 }
 TOL = 1e-4
 
 
 def prep_tdf(data_dir: str, name: str, out_dir: str):
-    """UCI docword.gz -> header-stripped TDF + (docs, vocab, nnz)."""
+    """UCI docword.gz (or synthetic) -> TDF + (docs, vocab, nnz)."""
+    if name.endswith("-syn"):
+        from synth_data import write_dataset
+        tdf = os.path.join(data_dir, f"{name}.tdf")
+        vocab_f = os.path.join(data_dir, f"vocab.{name}.txt")
+        if not (os.path.exists(tdf) and os.path.exists(vocab_f)):
+            meta = write_dataset(name, data_dir)
+        else:
+            from synth_data import SHAPES
+            import numpy as np
+            body = np.loadtxt(tdf, dtype=int)
+            meta = dict(vocab=SHAPES[name]["vocab"],
+                        docs=int(body[:, 0].max()), nnz=len(body))
+        return tdf, vocab_f, meta["docs"], meta["vocab"], meta["nnz"]
     gz = os.path.join(data_dir, f"docword.{name}.txt.gz")
     vocab_f = os.path.join(data_dir, f"vocab.{name}.txt")
     if not (os.path.exists(gz) and os.path.exists(vocab_f)):
@@ -55,11 +76,14 @@ def prep_tdf(data_dir: str, name: str, out_dir: str):
     return tdf, vocab_f, docs, vocab, nnz
 
 
-def run(cmd, log_path):
+def run(cmd, log_path, env=None):
     print("+", " ".join(map(str, cmd)))
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
     with open(log_path, "w") as log:
         p = subprocess.run(list(map(str, cmd)), stdout=log,
-                           stderr=subprocess.STDOUT)
+                           stderr=subprocess.STDOUT, env=full_env)
     return p.returncode
 
 
@@ -117,11 +141,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="kos", choices=sorted(CONFIGS))
     ap.add_argument("--ref-bin", default=os.path.join(HERE, "bin"))
-    ap.add_argument("--data-dir", default=os.path.join(HERE, "data"))
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--platform", default="cpu",
+                    help="jax backend for the rebuild legs (default cpu so "
+                         "parity does not depend on the TPU tunnel)")
     ap.add_argument("--out", default="/tmp/isle_parity")
     args = ap.parse_args()
     name = args.dataset
+    if args.data_dir is None:
+        args.data_dir = os.path.join(
+            HERE, "data_syn" if name.endswith("-syn") else "data")
     cfgd = CONFIGS[name]
+    args.out = os.path.join(args.out, name)
     os.makedirs(args.out, exist_ok=True)
 
     prep = prep_tdf(args.data_dir, name, args.out)
@@ -147,8 +178,10 @@ def main():
     ours_dir = os.path.join(args.out, "ours")
     os.makedirs(ours_dir, exist_ok=True)
     train_args[2] = ours_dir
+    ours_env = {"ISLE_PLATFORM": args.platform, "PYTHONPATH": ":".join(
+        p for p in [REPO, os.environ.get("PYTHONPATH", "")] if p)}
     rc = run([sys.executable, "-m", "isle_tpu.cli.train", *train_args],
-             os.path.join(args.out, "ours_train.log"))
+             os.path.join(args.out, "ours_train.log"), env=ours_env)
     assert rc == 0, "rebuild training failed"
 
     # --- train reference ---
@@ -195,7 +228,7 @@ def main():
                         model_nnz(model), 0, 0]
             inf_args[2] = ia
             run([sys.executable, "-m", "isle_tpu.cli.infer", *inf_args],
-                os.path.join(args.out, f"inf_ours_{tag}.log"))
+                os.path.join(args.out, f"inf_ours_{tag}.log"), env=ours_env)
             inf_args[2] = ib
             run([ref_infer, *inf_args],
                 os.path.join(args.out, f"inf_ref_{tag}.log"))
