@@ -188,6 +188,44 @@ def _run_leg(target, args_tuple, deadline_s: float):
     return last
 
 
+def _summarize(cold_s: float, warm_runs: list, tr, corpus) -> dict:
+    """Fold the warm repeats into medians + spread (the variance-proof
+    record the parsed JSON carries: wire_s / nonwire_s / phases /
+    n_repeats, per round-4 VERDICT item 2)."""
+    import jax
+
+    out = dict(
+        cold_s=cold_s,
+        svd_gflops=tr.op_counter.gflops(),
+        infer_s=-1.0,
+        infer_docs_per_s=0.0,
+        platform=str(jax.devices()[0].platform),
+        nnz=corpus.nnz,
+        n_repeats=len(warm_runs),
+    )
+    if warm_runs:
+        totals = [r["train_s"] for r in warm_runs]
+        out["train_s"] = float(np.median(totals))
+        out["wire_s"] = float(np.median([r["wire_s"] for r in warm_runs]))
+        out["nonwire_s"] = float(
+            np.median([r["train_s"] - r["wire_s"] for r in warm_runs]))
+        out["warm_spread"] = [round(min(totals), 2), round(max(totals), 2)]
+        keys = sorted(set().union(*[r["phases"] for r in warm_runs]))
+        out["phases"] = {
+            k: round(float(np.median(
+                [r["phases"].get(k, 0.0) for r in warm_runs])), 3)
+            for k in keys
+        }
+    else:
+        out["train_s"] = cold_s
+        out["wire_s"] = None
+        out["nonwire_s"] = None
+        out["warm_spread"] = None
+        out["phases"] = {label: round(wall, 3)
+                         for label, wall, cpu in tr.timer.phases}
+    return out
+
+
 def run_pipeline(platform: str, shape: dict, seed: int, warmup: bool = True,
                  queue=None):
     if platform == "cpu":
@@ -229,37 +267,54 @@ def run_pipeline(platform: str, shape: dict, seed: int, warmup: bool = True,
     for label, wall, cpu in tr.timer.phases:
         print(f"#   cold phase {label}: {wall:.2f}s", file=sys.stderr)
 
-    # Second run in-process reuses every compiled program (identical
+    # Warm repeats in-process reuse every compiled program (identical
     # static shapes), measuring execution the way an amortized production
     # service would see it; the cold number includes this environment's
-    # erratic remote-compile latency (see BENCH_NOTES.md). The CPU proxy
-    # skips the warm rerun (its local compiles disk-cache across runs).
-    if warmup:
+    # erratic remote-compile latency (see BENCH_NOTES.md). N>=3 repeats +
+    # median/spread make the headline variance-proof (round-4 VERDICT
+    # item 2: single-run captures could not distinguish regression from
+    # weather). The CPU proxy skips the warm reruns (its local compiles
+    # disk-cache across runs).
+    WIRE_PHASE = "upload A to device"
+    warm_runs: list = []   # per-repeat {train_s, wire_s, phases}
+    n_repeats = int(os.environ.get("ISLE_BENCH_REPEATS", "3")) if warmup else 0
+    tr2 = tr
+    for rep in range(n_repeats):
+        if warmup and _remaining() < 240.0 and warm_runs:
+            print(f"# budget low ({_remaining():.0f}s); stopping at "
+                  f"{len(warm_runs)} warm repeats", file=sys.stderr)
+            break
         tr2 = Trainer(cfg, output_dir=out_dir, quiet=True)
         tr2.corpus = corpus
         tr2._post_ingest()
         t0 = time.perf_counter()
         tr2.train()
         tr2.train_edge_topics()
-        train_s = time.perf_counter() - t0
-        for label, wall, cpu in tr2.timer.phases:
-            print(f"#   warm phase {label}: {wall:.2f}s", file=sys.stderr)
+        rep_s = time.perf_counter() - t0
+        phases = {label: round(wall, 3)
+                  for label, wall, cpu in tr2.timer.phases}
+        wire = phases.get(WIRE_PHASE, 0.0)
+        warm_runs.append(dict(train_s=rep_s, wire_s=wire, phases=phases))
+        print(f"# warm repeat {rep}: {rep_s:.1f}s total, {wire:.1f}s wire, "
+              f"{rep_s - wire:.1f}s non-wire", file=sys.stderr)
+        # Partial after each repeat so a later hang still leaves data.
+        if queue is not None:
+            queue.put(_summarize(cold_s, warm_runs, tr2, corpus))
+    if warm_runs:
+        for label, v in warm_runs[-1]["phases"].items():
+            print(f"#   warm phase {label}: {v:.2f}s", file=sys.stderr)
+        train_s = float(np.median([r["train_s"] for r in warm_runs]))
     else:
-        tr2 = tr
         train_s = cold_s
-    print(f"# cold train_s: {cold_s:.1f}s, warm train_s: {train_s:.1f}s",
-          file=sys.stderr)
-    gflops = tr2.op_counter.gflops()
+    print(f"# cold train_s: {cold_s:.1f}s, warm train_s (median of "
+          f"{max(len(warm_runs), 1)}): {train_s:.1f}s", file=sys.stderr)
 
     # Post a train-only partial before the inference stage: if the infer
     # leg hangs into the deadline, the parent still gets the train number
     # (the queue is drained last-item-wins).
+    summary = _summarize(cold_s, warm_runs, tr2, corpus)
     if queue is not None:
-        queue.put(dict(
-            train_s=train_s, cold_s=cold_s, svd_gflops=gflops,
-            infer_s=-1.0, infer_docs_per_s=0.0,
-            platform=str(jax.devices()[0].platform), nnz=corpus.nnz,
-        ))
+        queue.put(dict(summary))
 
     # MWU inference throughput over the full corpus (ISLEInfer's workload:
     # drivers/ISLEInfer.cpp; docs re-normalized to unit mass).
@@ -294,15 +349,9 @@ def run_pipeline(platform: str, shape: dict, seed: int, warmup: bool = True,
         file=sys.stderr,
     )
 
-    result = dict(
-        train_s=train_s,
-        cold_s=cold_s,
-        svd_gflops=gflops,
-        infer_s=infer_s,
-        infer_docs_per_s=corpus.num_docs / max(infer_s, 1e-9),
-        platform=str(jax.devices()[0].platform),
-        nnz=corpus.nnz,
-    )
+    result = dict(summary)
+    result["infer_s"] = infer_s
+    result["infer_docs_per_s"] = corpus.num_docs / max(infer_s, 1e-9)
     if queue is not None:
         queue.put(result)
     return result
@@ -344,6 +393,9 @@ def main():
         deadline = _remaining() - reserve
         if deadline < 300.0:
             break
+        # Let the child pace its warm repeats against the real remaining
+        # budget (the spawned process re-reads the env at import).
+        os.environ["ISLE_BENCH_BUDGET_S"] = str(max(deadline - 30.0, 60.0))
         res = _run_leg(run_pipeline, ("default", shape, 0, True), deadline)
         if res is not None:
             break
@@ -354,8 +406,9 @@ def main():
                         "tpu-leg-failed: pipeline subprocess produced no "
                         "result within budget (preflight was OK)"))
         return
-    _partial["tpu"] = {k: res[k] for k in
-                       ("train_s", "cold_s", "infer_s", "platform")}
+    _partial["tpu"] = {k: res.get(k) for k in
+                       ("train_s", "cold_s", "wire_s", "nonwire_s",
+                        "infer_s", "platform")}
 
     # --- CPU proxy leg (live if budget allows, else pinned estimate). ---
     vs_baseline = 0.0
@@ -391,7 +444,8 @@ def main():
     emit(
         {
             "metric": (
-                f"e2e train wall-clock (compile-amortized), synthetic "
+                f"e2e train wall-clock (compile-amortized, median of "
+                f"{res.get('n_repeats', 1)} warm repeats), synthetic "
                 f"{label} ({shape['vocab']} vocab x {shape['docs']} "
                 f"docs, {res['nnz']} nnz, k={shape['k']}); SVD SpMM "
                 f"{res['svd_gflops']:.1f} GFLOP/s; MWU infer "
@@ -401,6 +455,15 @@ def main():
             "value": round(res["train_s"], 2),
             "unit": "s",
             "vs_baseline": round(vs_baseline, 2),
+            "n_repeats": res.get("n_repeats"),
+            "warm_spread": res.get("warm_spread"),
+            "wire_s": (round(res["wire_s"], 2)
+                       if res.get("wire_s") is not None else None),
+            "nonwire_s": (round(res["nonwire_s"], 2)
+                          if res.get("nonwire_s") is not None else None),
+            "cold_s": round(res["cold_s"], 2),
+            "phases": res.get("phases"),
+            "infer_docs_per_s": round(res.get("infer_docs_per_s", 0.0), 1),
         }
     )
 

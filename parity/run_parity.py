@@ -41,6 +41,10 @@ CONFIGS = {
     "tiny-syn": dict(k=5, sample=0, rate=0.0, edge=1, max_edge=20),
     "kos-syn": dict(k=10, sample=0, rate=0.0, edge=1, max_edge=100),
     "nips-syn": dict(k=50, sample=0, rate=0.0, edge=1, max_edge=100),
+    # bench.py's exact shapes + seed (see parity/synth_data.py): the
+    # reference binary on the very corpus the benchmark measures.
+    "small-syn": dict(k=20, sample=0, rate=0.0, edge=1, max_edge=100),
+    "nyt-syn": dict(k=100, sample=0, rate=0.0, edge=1, max_edge=2000),
 }
 TOL = 1e-4
 
