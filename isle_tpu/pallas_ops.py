@@ -277,11 +277,15 @@ def segsum_rows(
     g: jax.Array,
     num_segments: int,
     interpret: bool = False,
+    init: Optional[jax.Array] = None,
 ) -> jax.Array:
     """out[s, :] = sum of g rows whose planned segment is s; returns
     (num_segments + 1, W) with the spill row last (callers slice).
     Streams g in macro-chunks so the partial buffer stays bounded.
-    Call inside jit (plan static fields specialize the kernel)."""
+    Call inside jit (plan static fields specialize the kernel).
+    `init` (same shape/dtype as the output) seeds the accumulator —
+    streamed callers thread their stage carry through so chunk passes
+    accumulate in place (donate it in the enclosing jit)."""
     n, W = g.shape
     macro = _macro(n)
     nmac = n // macro
@@ -297,7 +301,8 @@ def segsum_rows(
             part.reshape(-1, W), indices_are_sorted=True
         ), None
 
-    acc = jnp.zeros((num_segments + 1, W), jnp.float32)
+    acc = init if init is not None else jnp.zeros(
+        (num_segments + 1, W), jnp.float32)
     acc, _ = jax.lax.scan(
         body,
         acc,
@@ -317,13 +322,18 @@ def segsum_onehot(
     num_segments: int,
     ncols: int,
     interpret: bool = False,
+    init: Optional[jax.Array] = None,
 ) -> jax.Array:
     """out[s, c] += (val or 1) over entries with planned segment s and
     col == c; col outside [0, ncols) is dropped. Returns
-    (num_segments + 1, ncols_pad) — float32 with vals, exact int32
+    (num_segments + 1, ncols) — float32 with vals, exact int32
     counts without (per-chunk partials stay < 2^24 so the f32 MXU
-    counts are exact integers). `ncols` pads up to a 128-lane multiple
-    internally; callers slice [:, :ncols]."""
+    counts are exact integers). The kernel pads columns to a 128-lane
+    multiple internally; partials are sliced back before the carry add,
+    so the accumulator (and an optional `init` carry threaded by
+    streamed callers — donate it in the enclosing jit) stays at the
+    true `ncols` width: at PubMed's (D+1, k) mass that avoids holding a
+    28%-padded 4.2 GB carry alongside the stage working set."""
     n = col.shape[0]
     ncols_pad = max(128, ((ncols + 127) // 128) * 128)
     macro = _macro(n)
@@ -340,7 +350,7 @@ def segsum_onehot(
             r1, cc, vv, ii = args
         part = _segsum_onehot_call(
             r1, cc, vv, plan.chunk, plan.rcap, ncols_pad, mode, interpret
-        ).reshape(-1, ncols_pad)
+        ).reshape(-1, ncols_pad)[:, :ncols]
         if val is None:
             part = part.astype(jnp.int32)
         return acc.at[ii].add(part, indices_are_sorted=True), None
@@ -349,8 +359,66 @@ def segsum_onehot(
     if val is not None:
         xs.append(val.reshape(nmac, macro))
     xs.append(plan.ids.reshape(nmac, sub * plan.rcap))
-    acc = jnp.zeros((num_segments + 1, ncols_pad), out_dtype)
+    acc = init if init is not None else jnp.zeros(
+        (num_segments + 1, ncols), out_dtype)
     acc, _ = jax.lax.scan(body, acc, tuple(xs))
+    return acc
+
+
+def segsum_gather_rows(
+    plan: SegPlan,
+    idx: jax.Array,
+    val: jax.Array,
+    table: jax.Array,
+    num_segments: int,
+    interpret: bool = False,
+    init: Optional[jax.Array] = None,
+) -> jax.Array:
+    """out[s, :] += val[e] * table[idx[e], :] over entries with planned
+    segment s — the gather half stays on XLA's native row gather (the
+    measured-fastest gather on this chip), the scatter half becomes MXU
+    partial sums by within-chunk segment rank. The gather is fused into
+    the macro-chunk scan so the scaled-row intermediate never exceeds
+    (macro, W) — a whole-stream gather at a 2^25-entry streamed chunk
+    with k=100 would materialize 13 GB. Returns (num_segments + 1, Wp)
+    with Wp the 128-lane padded width of `table` (callers slice); an
+    `init` carry must already be at Wp. Width padding happens on the
+    per-macro gathered rows, never on `table` itself — a padded copy of
+    PubMed's (D+1, 100) contribution-weight table would be 4.2 GB. idx
+    outside [0, len(table)) contributes zero rows."""
+    n = idx.shape[0]
+    W = table.shape[1]
+    Wp = max(128, ((W + 127) // 128) * 128)
+    macro = _macro(n)
+    nmac = n // macro
+    sub = macro // plan.chunk
+    mode = _auto_mode(plan.rcap, has_vals=True)
+
+    def body(acc, args):
+        r1, dd, vv, ii = args
+        g = jnp.take(table, dd, axis=0, mode="fill", fill_value=0.0)
+        g = g * vv[:, None]
+        if Wp != W:
+            g = jnp.pad(g, ((0, 0), (0, Wp - W)))
+        part = _segsum_rows_call(
+            r1, g, plan.chunk, plan.rcap, mode, interpret
+        )
+        return acc.at[ii].add(
+            part.reshape(-1, Wp), indices_are_sorted=True
+        ), None
+
+    acc = init if init is not None else jnp.zeros(
+        (num_segments + 1, Wp), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body,
+        acc,
+        (
+            plan.rank1d.reshape(nmac, macro),
+            idx.reshape(nmac, macro),
+            val.reshape(nmac, macro),
+            plan.ids.reshape(nmac, sub * plan.rcap),
+        ),
+    )
     return acc
 
 
@@ -359,39 +427,11 @@ def b_y_plan(
     sp: DocSparse, Y: jax.Array, plan: SegPlan, interpret: bool = False
 ) -> jax.Array:
     """B Y via the planned word-stream segment sum (the pallas analog of
-    sparse.b_y): gather Y rows by doc id (XLA native gather — the
-    measured-fastest gather on this chip), then MXU partial sums by
+    sparse.b_y): gather Y rows by doc id, then MXU partial sums by
     word rank instead of the 86 Mrows/s scatter. `plan` must be
     plan_segments(sp.w_word, sp.vocab)."""
-    n = sp.padded_nnz
     W = Y.shape[1]
-    Wp = max(128, ((W + 127) // 128) * 128)
-    Yp = Y if Wp == W else jnp.pad(Y, ((0, 0), (0, Wp - W)))
-    macro = _macro(n)
-    nmac = n // macro
-    sub = macro // plan.chunk
-    mode = _auto_mode(plan.rcap, has_vals=True)
-
-    def body(acc, args):
-        r1, dd, vv, ii = args
-        g = jnp.take(Yp, dd, axis=0, mode="fill", fill_value=0.0)
-        g = g * vv[:, None]
-        part = _segsum_rows_call(
-            r1, g, plan.chunk, plan.rcap, mode, interpret
-        )
-        return acc.at[ii].add(
-            part.reshape(-1, Wp), indices_are_sorted=True
-        ), None
-
-    acc = jnp.zeros((sp.vocab + 1, Wp), jnp.float32)
-    acc, _ = jax.lax.scan(
-        body,
-        acc,
-        (
-            plan.rank1d.reshape(nmac, macro),
-            sp.w_doc.reshape(nmac, macro),
-            sp.w_val.reshape(nmac, macro),
-            plan.ids.reshape(nmac, sub * plan.rcap),
-        ),
+    acc = segsum_gather_rows(
+        plan, sp.w_doc, sp.w_val, Y, sp.vocab, interpret
     )
     return acc[: sp.vocab, :W]

@@ -550,21 +550,79 @@ def _hist_accum(hist_banked, words, vals, F: int):
     return out
 
 
+@partial(jax.jit, static_argnames=("F",))
+def _sorted_word_counts(words, vals, F: int):
+    """Word-sort one doc-ordered chunk, payload = rounded count bins —
+    the per-chunk device sort (measured ~246 ms / 33M entries,
+    benchmarks/micro_sort.py) that lets the word-keyed pallas segment
+    sums run over the doc-sorted streamed chunks. Padded entries (word
+    id == vocab) sort last, preserving the spill-row invariant."""
+    r = jnp.clip(jnp.floor(vals + 0.5).astype(jnp.int32), 0, F)
+    return jax.lax.sort((words, r), num_keys=1)
+
+
+@partial(jax.jit, static_argnames=("V", "F", "interpret"),
+         donate_argnums=(0,))
+def _hist_pallas_step(hist, plan, rs, V: int, F: int, interpret: bool):
+    from .pallas_ops import segsum_onehot
+
+    return segsum_onehot(plan, rs, None, V, F + 1, interpret, init=hist)
+
+
+@partial(jax.jit, static_argnames=("F",), donate_argnums=(0,))
+def _hist_flat_fallback(hist, ws, rs, F: int):
+    """Unbanked scalar-scatter fallback into the pallas-layout carry for
+    a chunk whose run fan-out exceeds the kernel contract (plan None)."""
+    flat = hist.reshape(-1).at[ws * jnp.int32(F + 1) + rs].add(1)
+    return flat.reshape(hist.shape)
+
+
 def streamed_thresholds(
     corpus: Corpus, num_topics: int, hyper, chunk_entries: int = 1 << 25,
-    loader=None,
+    loader=None, pallas=None, pallas_chunk: int = 2048,
 ) -> Tuple[jax.Array, int]:
-    """Stage 1: zeta cutoffs without materializing A on device."""
+    """Stage 1: zeta cutoffs without materializing A on device.
+
+    `pallas` (pallas_ops.pallas_mode) routes the histogram onto the MXU
+    segment-sum kernels: each chunk is word-sorted on device, planned
+    (per-chunk rank plan, one scalar readback), and contracted as exact
+    0/1 one-hots into an unbanked (V+1, F+1) int32 carry; chunks whose
+    fan-out exceeds the kernel contract fall back to a flat scatter into
+    the same carry. None keeps the banked XLA one-hot scan."""
     V = corpus.vocab_size
     F = freq_bound(corpus.avg_doc_sz)
+    load = loader if loader is not None else make_chunk_loader(
+        corpus, chunk_entries)
+    if pallas is not None:
+        from .pallas_ops import plan_segments
+
+        hist = jnp.zeros((V + 1, F + 1), jnp.int32)
+        for i, (lo, hi) in enumerate(doc_chunks(corpus, chunk_entries)):
+            w, v, _ = load(lo, hi)
+            ws, rs = _sorted_word_counts(w, v, F)
+            plan = plan_segments(ws, V, chunk=pallas_chunk)
+            if plan is None:
+                hist = _hist_flat_fallback(hist, ws, rs, F)
+            else:
+                hist = _hist_pallas_step(hist, plan, rs, V, F, pallas)
+            _drain_every(hist, i)
+        h = hist[:V]
+        h = h.at[:, 0].set(0)
+        zeta, nnz_w = _zeta_from_hist(
+            h,
+            hyper.count_gr(corpus.nz_docs, num_topics),
+            hyper.count_eq(corpus.nz_docs, num_topics),
+            jnp,
+            few_drop=hyper.few_samples_threshold_drop,
+            bad_drop=hyper.bad_threshold_drop,
+        )
+        return zeta.astype(jnp.float32), int(nnz_w.sum())
     nbanks = (F + 1 + 127) // 128
     # int32 bins, like _hist_accum's updates and the sharded variants: a
     # float32 accumulator silently stops counting a bin at 2^24 (latent
     # here — per-(word, value) counts are bounded by num_docs — but the
     # f32 init contradicted the invariant every other histogram keeps).
     hist = jnp.zeros(((V + 1) * nbanks, 128), jnp.int32)
-    load = loader if loader is not None else make_chunk_loader(
-        corpus, chunk_entries)
     for i, (lo, hi) in enumerate(doc_chunks(corpus, chunk_entries)):
         w, v, _ = load(lo, hi)
         hist = _hist_accum(hist, w, v, F)
@@ -772,6 +830,67 @@ def _model_accum(model, words, vals, docs, W, k: int):
     return m
 
 
+@partial(jax.jit, static_argnames=("D", "k", "interpret"),
+         donate_argnums=(0,))
+def _mass_pallas_step(mass2d, plan, words, vals, cwt, D: int, k: int,
+                      interpret: bool):
+    """Doc-keyed MXU mass accumulation: the streamed chunks are already
+    doc-sorted, so the plan runs on the raw doc stream — no sort needed.
+    Non-catchword and padded entries map to column -1 (all-zero one-hot
+    row) and contribute nothing anywhere, including the spill row."""
+    from .pallas_ops import segsum_onehot
+
+    col = cwt[words]
+    return segsum_onehot(plan, col, vals, D, k, interpret, init=mass2d)
+
+
+@partial(jax.jit, static_argnames=("k", "num_docs"), donate_argnums=(0,))
+def _mass_accum_2d(mass2d, words, vals, docs, cwt, k: int, num_docs: int):
+    """Flat-scatter fallback into the pallas-layout (D+1, k) carry."""
+    flat = _mass_accum(mass2d.reshape(-1), words, vals, docs, cwt, k,
+                       num_docs)
+    return flat.reshape(num_docs + 1, k)
+
+
+@partial(jax.jit, static_argnames=("V", "interpret"), donate_argnums=(0,))
+def _model_pallas_step(model_p, plan, docs, vals, W, V: int,
+                       interpret: bool):
+    from .pallas_ops import segsum_gather_rows
+
+    return segsum_gather_rows(plan, docs, vals, W, V, interpret,
+                              init=model_p)
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _model_accum_pad(model_p, words, vals, docs, W, k: int):
+    """_model_accum fallback into the lane-padded pallas carry: scatter
+    rows padded to the carry width (the pad fuses into the gather)."""
+    Wp = model_p.shape[1]
+    n = words.shape[0]
+    sub = min(1 << 21, n)
+    while n % sub:
+        sub //= 2
+    nchunks = n // sub
+
+    def body(m, args):
+        w_, v_, d_ = args
+        rows = jnp.take(W, d_, axis=0, fill_value=0.0) * v_[:, None]
+        rows = jnp.pad(rows, ((0, 0), (0, Wp - W.shape[1])))
+        return m.at[w_].add(rows), None
+
+    m, _ = jax.lax.scan(
+        body, model_p,
+        (words.reshape(nchunks, sub), vals.reshape(nchunks, sub),
+         docs.reshape(nchunks, sub)),
+    )
+    return m
+
+
+@jax.jit
+def _sort_chunk_by_word(w, v, d):
+    return jax.lax.sort((w, v, d), num_keys=1)
+
+
 def streamed_topic_model(
     corpus: Corpus,
     cw_topic: np.ndarray,
@@ -781,9 +900,17 @@ def streamed_topic_model(
     want_top_pairs: bool,
     chunk_entries: int = 1 << 25,
     loader=None,
+    pallas=None,
+    pallas_chunk: int = 2048,
 ):
     """Stages 5-6: catchword mass + model accumulation over streamed A.
-    Semantics identical to topic_model.construct_topic_model."""
+    Semantics identical to topic_model.construct_topic_model.
+
+    `pallas` (pallas_ops.pallas_mode) routes both accumulations onto the
+    MXU segment-sum kernels: the mass plans directly on the doc-sorted
+    chunk stream (no sort), the model word-sorts each chunk first (the
+    ~246 ms / 33M-entry device sort); per-chunk plan overflow falls back
+    to the XLA scatter into the same carry layout."""
     from .topic_model import model_thresholds, top_two_topics, _contribution_weights
 
     D, V, k = corpus.num_docs, corpus.vocab_size, num_topics
@@ -792,15 +919,30 @@ def streamed_topic_model(
         f"(num_docs+1)*k = {(D + 1) * k} exceeds int32 flat indexing; "
         "use the doc-sharded mesh path"
     )
-    mass = jnp.zeros(((D + 1) * k,), jnp.float32)
     chunks = list(doc_chunks(corpus, chunk_entries))
     load = loader if loader is not None else make_chunk_loader(
         corpus, chunk_entries)
 
-    for i, (lo, hi) in enumerate(chunks):
-        w, v, d = load(lo, hi)
-        mass = _mass_accum(mass, w, v, d, cwt, k, D)
-        _drain_every(mass, i)
+    if pallas is not None:
+        from .pallas_ops import plan_segments
+
+        mass = jnp.zeros((D + 1, k), jnp.float32)
+        for i, (lo, hi) in enumerate(chunks):
+            w, v, d = load(lo, hi)
+            plan = plan_segments(d, D, chunk=pallas_chunk)
+            if plan is None:
+                mass = _mass_accum_2d(mass, w, v, d, cwt, k, D)
+            else:
+                mass = _mass_pallas_step(mass, plan, w, v, cwt, D, k,
+                                         pallas)
+            _drain_every(mass, i)
+        mass = mass.reshape(-1)  # free view; unified with the XLA path
+    else:
+        mass = jnp.zeros(((D + 1) * k,), jnp.float32)
+        for i, (lo, hi) in enumerate(chunks):
+            w, v, d = load(lo, hi)
+            mass = _mass_accum(mass, w, v, d, cwt, k, D)
+            _drain_every(mass, i)
     # Keep the spill row: mass.reshape(D+1, k)[:D] would MATERIALIZE a
     # second 3.3 GB copy at PubMed scale (observed OOM). Row D is
     # all-zero by construction (non-catchword and padded entries scatter
@@ -826,12 +968,29 @@ def streamed_topic_model(
     W = _contribution_weights(mass, thr, cl_pad)  # donates mass
     del mass  # (D+1, k) f32 — ~3.3 GB at PubMed scale; W reuses the buffer
 
-    model = jnp.zeros((V + 1, k), jnp.float32)
-    for i, (lo, hi) in enumerate(chunks):
-        w, v, d = load(lo, hi)
-        model = _model_accum(model, w, v, d, W, k)
-        _drain_every(model, i)
-    model = model[:V]
+    if pallas is not None:
+        from .pallas_ops import plan_segments
+
+        Wp = max(128, ((k + 127) // 128) * 128)
+        model = jnp.zeros((V + 1, Wp), jnp.float32)
+        for i, (lo, hi) in enumerate(chunks):
+            w, v, d = load(lo, hi)
+            ws, vs, ds = _sort_chunk_by_word(w, v, d)
+            plan = plan_segments(ws, V, chunk=pallas_chunk)
+            if plan is None:
+                model = _model_accum_pad(model, ws, vs, ds, W, k)
+            else:
+                model = _model_pallas_step(model, plan, ds, vs, W, V,
+                                           pallas)
+            _drain_every(model, i)
+        model = model[:V, :k]
+    else:
+        model = jnp.zeros((V + 1, k), jnp.float32)
+        for i, (lo, hi) in enumerate(chunks):
+            w, v, d = load(lo, hi)
+            model = _model_accum(model, w, v, d, W, k)
+            _drain_every(model, i)
+        model = model[:V]
     sums = jnp.sum(model, axis=0)
     model = jnp.where(sums[None, :] != 0.0, model / sums[None, :], model)
     return model, pairs
@@ -905,8 +1064,12 @@ class StreamedTrainer:
             t.original_cols = original_cols
             t.logger.info("resumed thresholds from 'svd' checkpoint")
         else:
-            zetas, new_nnz = streamed_thresholds(corpus, k, hp, ce,
-                                                 loader=loader)
+            from .pallas_ops import pallas_mode
+
+            zetas, new_nnz = streamed_thresholds(
+                corpus, k, hp, ce, loader=loader,
+                pallas=pallas_mode(cfg.tpu),
+                pallas_chunk=cfg.tpu.pallas_chunk)
             t.logger.info(f"Entries above threshold: {new_nnz}")
             t.timer.next("streamed thresholds")
 
@@ -1126,12 +1289,16 @@ class StreamedTrainer:
         del A_sub, thr  # ~1 GB of filtered-corpus device arrays
         t.timer.next("streamed catchwords")
 
+        from .pallas_ops import pallas_mode
+
         model, pairs = streamed_topic_model(
             corpus, cwt, cluster_of_doc, k,
             hp.model_rank_threshold(D, k),
             want_top_pairs=cfg.compute_edge_topics,
             chunk_entries=ce,
             loader=loader,
+            pallas=pallas_mode(cfg.tpu),
+            pallas_chunk=cfg.tpu.pallas_chunk,
         )
         t.model = np.asarray(model)
         extra = {}

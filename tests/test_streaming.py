@@ -411,3 +411,54 @@ def test_streamed_middle_oom_fallback(corpus_pair, monkeypatch, tmp_path):
     assert t_oom._loader.fill_count == 2  # released, refilled for finish
     np.testing.assert_array_equal(t_oom.model, t_ref.model)
     np.testing.assert_array_equal(t_oom.cluster_of_doc, t_ref.cluster_of_doc)
+
+
+def test_streamed_pallas_matches_xla(corpus_pair, monkeypatch):
+    """The MXU segment-sum route through the streamed stages (round-5:
+    per-chunk device sort + plan; doc-plan mass; gather+MXU model) must
+    match the XLA-scatter route — thresholds exactly (int32 counts),
+    mass/model to fp32 accumulation-order tolerance. Also exercises the
+    plan-overflow fallback per chunk via a forced None plan."""
+    import jax.numpy as jnp
+
+    from isle_tpu.corpus import Corpus
+    from isle_tpu.streaming import streamed_thresholds, streamed_topic_model
+
+    tmp, tdf, V, D, k = corpus_pair
+    c = Corpus.from_tdf_file(tdf)
+    hp = HyperParams()
+
+    z_x, nnz_x = streamed_thresholds(c, k, hp, chunk_entries=512)
+    z_p, nnz_p = streamed_thresholds(
+        c, k, hp, chunk_entries=512, pallas=True, pallas_chunk=128)
+    np.testing.assert_array_equal(np.asarray(z_p), np.asarray(z_x))
+    assert nnz_p == nnz_x
+
+    rng = np.random.default_rng(5)
+    cw_topic = np.full(V, -1, np.int32)
+    cw_topic[rng.choice(V, size=V // 3, replace=False)] = rng.integers(
+        0, k, V // 3)
+    cluster = rng.integers(-1, k, D).astype(np.int32)
+    m_x, p_x = streamed_topic_model(
+        c, cw_topic, cluster, k, 2, want_top_pairs=True, chunk_entries=512)
+    m_p, p_p = streamed_topic_model(
+        c, cw_topic, cluster, k, 2, want_top_pairs=True, chunk_entries=512,
+        pallas=True, pallas_chunk=128)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(p_p, p_x):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Forced plan overflow: every chunk takes the in-layout XLA fallback.
+    import isle_tpu.pallas_ops as po
+    monkeypatch.setattr(po, "plan_segments",
+                        lambda *a, **kw: None)
+    z_f, nnz_f = streamed_thresholds(
+        c, k, hp, chunk_entries=512, pallas=True, pallas_chunk=128)
+    np.testing.assert_array_equal(np.asarray(z_f), np.asarray(z_x))
+    assert nnz_f == nnz_x
+    m_f, _ = streamed_topic_model(
+        c, cw_topic, cluster, k, 2, want_top_pairs=False, chunk_entries=512,
+        pallas=True, pallas_chunk=128)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_x),
+                               atol=1e-5, rtol=1e-5)
