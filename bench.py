@@ -194,6 +194,8 @@ def _summarize(cold_s: float, warm_runs: list, tr, corpus) -> dict:
     n_repeats, per round-4 VERDICT item 2)."""
     import jax
 
+    from isle_tpu.obs import compile_log_top
+
     out = dict(
         cold_s=cold_s,
         svd_gflops=tr.op_counter.gflops(),
@@ -202,6 +204,7 @@ def _summarize(cold_s: float, warm_runs: list, tr, corpus) -> dict:
         platform=str(jax.devices()[0].platform),
         nnz=corpus.nnz,
         n_repeats=len(warm_runs),
+        top_compiles=[(n, round(s, 2)) for n, s in compile_log_top(5)],
     )
     if warm_runs:
         totals = [r["train_s"] for r in warm_runs]
@@ -242,8 +245,10 @@ def run_pipeline(platform: str, shape: dict, seed: int, warmup: bool = True,
 
     from isle_tpu.config import TrainConfig
     from isle_tpu.corpus import Corpus
+    from isle_tpu.obs import compile_log_top, enable_compile_log
     from isle_tpu.trainer import Trainer
 
+    enable_compile_log()
     d, w, c = synth_corpus(shape["vocab"], shape["docs"], shape["nnz"], seed)
     corpus = Corpus.from_entries(
         d, w, c, vocab_size=shape["vocab"], num_docs=shape["docs"],
@@ -266,6 +271,12 @@ def run_pipeline(platform: str, shape: dict, seed: int, warmup: bool = True,
     cold_s = time.perf_counter() - t0
     for label, wall, cpu in tr.timer.phases:
         print(f"#   cold phase {label}: {wall:.2f}s", file=sys.stderr)
+    # Cold-tail attribution (round-4 VERDICT item 6): on the tunnel
+    # these are REMOTE compiles with erratic latency; name the programs
+    # so a pathological cold run points at its compile, not at compute.
+    top_compiles = [(n, round(s, 2)) for n, s in compile_log_top(8)]
+    for name, secs in top_compiles:
+        print(f"#   cold compile {name}: {secs:.2f}s", file=sys.stderr)
 
     # Warm repeats in-process reuse every compiled program (identical
     # static shapes), measuring execution the way an amortized production
@@ -462,6 +473,7 @@ def main():
             "nonwire_s": (round(res["nonwire_s"], 2)
                           if res.get("nonwire_s") is not None else None),
             "cold_s": round(res["cold_s"], 2),
+            "top_compiles": res.get("top_compiles"),
             "phases": res.get("phases"),
             "infer_docs_per_s": round(res.get("infer_docs_per_s", 0.0), 1),
         }

@@ -83,6 +83,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (env vars don't override "
                          "the site-pinned axon platform)")
+    ap.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],
+                    help="TpuConfig.pallas_segsum for the A/B "
+                         "(off = XLA scatters, the round-4 configuration)")
+    ap.add_argument("--tag", default="",
+                    help="run-dir suffix so A/B legs don't share "
+                         "checkpoints")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -98,7 +104,7 @@ def main():
 
     import jax
 
-    from isle_tpu.config import TrainConfig
+    from isle_tpu.config import TpuConfig, TrainConfig
     from isle_tpu.obs import enable_compilation_cache
     from isle_tpu.streaming import StreamedTrainer
 
@@ -110,8 +116,9 @@ def main():
         compute_edge_topics=True,  # BASELINE scale config: + edge topics
         max_edge_topics=2000,
         seed=0,
+        tpu=TpuConfig(pallas_segsum=args.pallas),
     )
-    out = f"/tmp/isle_pubmed_s{args.scale}"
+    out = f"/tmp/isle_pubmed_s{args.scale}{args.tag}"
     tr = StreamedTrainer(
         cfg, output_dir=out, quiet=False, chunk_entries=1 << args.chunk_log2
     )

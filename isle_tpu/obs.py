@@ -31,6 +31,34 @@ def enable_compilation_cache(path: str = "/tmp/isle_jax_cache") -> None:
         pass
 
 
+_COMPILE_LOG: List[tuple] = []
+
+
+def enable_compile_log() -> List[tuple]:
+    """Attribute cold-run time to individual XLA compiles: records
+    (fun_name, seconds) for every backend compile (on the axon tunnel
+    these are REMOTE compiles — the erratic cold tail, CLAUDE.md). Call
+    once before tracing; read/clear the returned list (also via
+    compile_log_top). Idempotent."""
+    if getattr(enable_compile_log, "_on", False):
+        return _COMPILE_LOG
+    from jax import monitoring
+
+    def _lis(event: str, dur: float, **kw) -> None:
+        if event.endswith("backend_compile_duration"):
+            _COMPILE_LOG.append((kw.get("fun_name", "?"), dur))
+
+    monitoring.register_event_duration_secs_listener(_lis)
+    enable_compile_log._on = True
+    return _COMPILE_LOG
+
+
+def compile_log_top(n: int = 8) -> List[tuple]:
+    """Top-n slowest compiles so far as (fun_name, seconds), slowest
+    first — the 'program-size evidence' for cold-tail attribution."""
+    return sorted(_COMPILE_LOG, key=lambda t: -t[1])[:n]
+
+
 class Logger:
     CHANNELS = ("info", "trace", "warning", "error", "timer", "diagnostic")
 
