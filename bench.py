@@ -46,6 +46,11 @@ _START = time.monotonic()
 # is too tight to run it.
 PINNED_CPU_EST = {"nytimes": 6018.1}
 
+# Measured 1-core reference wall-clock on the IDENTICAL corpus (round 5:
+# shim-built ISLETrain, parity/data_syn/nyt-syn.tdf = this bench's shape
+# and seed; user ~= wall so the capture was uncontended).
+REF_1CORE_S = {"nytimes": 234.8}
+
 # Last on-hardware measurements, attached (clearly labeled) to the error
 # artifact when the backend is unreachable at capture time, so an outage
 # still leaves the record pointing at the most recent real numbers
@@ -466,6 +471,12 @@ def main():
             "value": round(res["train_s"], 2),
             "unit": "s",
             "vs_baseline": round(vs_baseline, 2),
+            # Measured 1-core reference anchor (round 5): the shim-built
+            # ISLETrain ran THIS corpus on THIS host in 234.8 s wall
+            # (parity/reports/timerLog_ref_nyt-syn.txt; see BENCH_NOTES
+            # "reference at scale" for the 28-thread/MKL factors).
+            "vs_ref_1core": (round(REF_1CORE_S[label] / res["train_s"], 2)
+                             if label in REF_1CORE_S else None),
             "n_repeats": res.get("n_repeats"),
             "warm_spread": res.get("warm_spread"),
             "wire_s": (round(res["wire_s"], 2)
