@@ -179,10 +179,14 @@ class TpuConfig:
     # (benchmarks/ab_pallas.py, warm isolated): thresholds hist
     # 814 -> 145 ms, doc_topic_mass 868 -> 545 ms, rth 2924 -> 2219 ms,
     # model b_y 783 -> 653 ms — exact-match/1e-7..3e-5 vs the XLA
-    # results ON HARDWARE. Applies to the single-device in-core path
-    # and its reporting stages; streamed/sharded accumulators keep XLA
-    # scatters (their per-chunk streams are doc-sorted where the
-    # scatter keys by word, and their floors are decode/wire-bound).
+    # results ON HARDWARE. "auto" applies to the single-device in-core
+    # path and its reporting stages only; the streamed accumulators
+    # (streaming.py per-chunk word-sort + plan route) engage solely
+    # under forced "on" — the round-5 PubMed A/B on v5e-1 measured no
+    # win for them (thresholds 602 s XLA vs 1567 s pallas wall at
+    # near-identical user time, outputs bit-identical; BENCH_NOTES
+    # "Round-5 streamed pallas A/B"): their floors are wire/decode-
+    # bound and the per-chunk sort+plan sits on the critical path.
     # NOT applied to the hybrid tail ops: their octet
     # layout already cut the scatter 8x and they are gather-bound
     # (~157 Mrows/s XLA row gather; the pallas per-row DMA gather

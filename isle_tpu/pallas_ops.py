@@ -75,6 +75,20 @@ def pallas_mode(tpu_cfg) -> Optional[bool]:
     raise ValueError(f"pallas_segsum must be auto/on/off, got {s!r}")
 
 
+def pallas_mode_streamed(tpu_cfg) -> Optional[bool]:
+    """Resolve the mode for the STREAMED accumulators: engaged only when
+    pallas_segsum is forced "on". The round-5 PubMed A/B (BENCH_NOTES
+    "Round-5 streamed pallas A/B") measured no win for the streamed
+    route at the 787M-nnz shape — its floors are wire/decode-bound and
+    the per-chunk word-sort + plan adds device work on the critical
+    path — so "auto" keeps the streamed paths on XLA scatters and the
+    in-core wins (1.2-5.6x per stage) unaffected."""
+    s = getattr(tpu_cfg, "pallas_segsum", "off")
+    if s != "on":
+        return None
+    return pallas_mode(tpu_cfg)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SegPlan:

@@ -1165,11 +1165,11 @@ class StreamedTrainer:
             t.original_cols = original_cols
             t.logger.info("resumed thresholds from 'svd' checkpoint")
         else:
-            from .pallas_ops import pallas_mode
+            from .pallas_ops import pallas_mode_streamed
 
             zetas, new_nnz = streamed_thresholds(
                 corpus, k, hp, ce, loader=loader,
-                pallas=pallas_mode(cfg.tpu),
+                pallas=pallas_mode_streamed(cfg.tpu),
                 pallas_chunk=cfg.tpu.pallas_chunk)
             t.logger.info(f"Entries above threshold: {new_nnz}")
             t.timer.next("streamed thresholds")
@@ -1390,7 +1390,7 @@ class StreamedTrainer:
         del A_sub, thr  # ~1 GB of filtered-corpus device arrays
         t.timer.next("streamed catchwords")
 
-        from .pallas_ops import pallas_mode
+        from .pallas_ops import pallas_mode_streamed
 
         model, pairs = streamed_topic_model(
             corpus, cwt, cluster_of_doc, k,
@@ -1398,7 +1398,7 @@ class StreamedTrainer:
             want_top_pairs=cfg.compute_edge_topics,
             chunk_entries=ce,
             loader=loader,
-            pallas=pallas_mode(cfg.tpu),
+            pallas=pallas_mode_streamed(cfg.tpu),
             pallas_chunk=cfg.tpu.pallas_chunk,
         )
         t.model = np.asarray(model)
