@@ -388,11 +388,14 @@ def main():
     label = "tiny" if args.tiny else ("small" if args.small else "nytimes")
     _install_kill_handler(label, shape)
 
-    # --- Preflight: is the TPU backend reachable at all? (round-3 lesson) ---
-    pf = _run_leg(preflight, (), deadline_s=min(240.0, _remaining() - 60))
+    # --- Preflight: is the TPU backend reachable at all? (round-3 lesson)
+    # Deadlines sized for the measured remote-compile tail (a TINY matmul
+    # took 122 s on 2026-08-19; the same-program tail runs 5-350 s —
+    # CLAUDE.md), so a pathological-compile day reads "slow", not "down".
+    pf = _run_leg(preflight, (), deadline_s=min(420.0, _remaining() - 60))
     if pf is None or not pf.get("ok"):
         print("# preflight failed; one retry", file=sys.stderr)
-        pf = _run_leg(preflight, (), deadline_s=min(150.0, _remaining() - 30))
+        pf = _run_leg(preflight, (), deadline_s=min(300.0, _remaining() - 30))
     if pf is None or not pf.get("ok"):
         emit(_fail_json(label, shape, "backend-unavailable: preflight "
                         "matmul failed twice (tunnel/compile service down)"))
