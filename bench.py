@@ -59,13 +59,17 @@ REF_1CORE_S = {"nytimes": 234.8}
 # (benchmarks/ab_round4.py, v5e-1, 2026-08-18).
 LAST_HW = {
     "nytimes": {
-        "warm_train_s": 43.0,
-        "warm_nonwire_s": 32.0,
-        "cold_train_s": 289.0,
-        "measured": "2026-08-18 v5e-1 (benchmarks/ab_round4.py; "
-                    "wire was 3x degraded that day — round-3 warm was "
-                    "36.3-37.0 s at a 3.3-3.9 s wire)",
-        "source": "BENCH_NOTES.md round-4 hardware results",
+        "warm_train_s": 42.0,
+        "warm_nonwire_s": 34.9,
+        "cold_train_s": 858.4,
+        "infer_docs_per_s": 28361,
+        "vs_baseline": 196.0,
+        "vs_ref_1core": 5.59,
+        "measured": "2026-08-19 v5e-1 (median of 3 warm repeats, spread "
+                    "[41.45, 42.99]; cold carried two pathological "
+                    "remote-service waits — same-code cold was 252.6 s "
+                    "the same morning)",
+        "source": "BENCH_NOTES.md round-5 bench variance capture",
     }
 }
 
