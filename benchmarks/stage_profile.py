@@ -37,9 +37,16 @@ ROWS = []
 def sync(x):
     import jax
 
-    return jax.tree_util.tree_map(
-        lambda a: np.asarray(a).ravel()[:1] if hasattr(a, "ravel") else a, x
-    )
+    # Await via a device-side reduction + SCALAR readback: np.asarray(a)
+    # would pull the whole array over the ~33 MB/s tunnel (a 260 MB
+    # histogram = ~9 s of wire billed to the stage being timed).
+    import jax.numpy as jnp
+
+    out = []
+    for a in jax.tree_util.tree_leaves(x):
+        if hasattr(a, "sum"):
+            out.append(float(jnp.asarray(a).sum()))
+    return out
 
 
 def t(label, fn, reps=2, work=None, kind=None):
@@ -83,10 +90,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from isle_tpu.bmatrix import threshold_and_copy
     from isle_tpu.config import HyperParams, TpuConfig
     from isle_tpu.corpus import Corpus
-    from isle_tpu.hybrid import to_hybrid, h_gram_x
+    from isle_tpu.hybrid import h_gram_x
     from isle_tpu.pallas_ops import pallas_mode, plan_segments, segsum_onehot
     from isle_tpu.sparse import DocSparse
     from isle_tpu.thresholds import compute_thresholds_jax
@@ -97,9 +103,6 @@ def main():
         V, D, NNZ, k = 102_660, 300_000, 48_000_000, 100
     else:
         V, D, NNZ, k = 28_000, 40_000, 3_000_000, 20
-    # mirror the production head budget (TpuConfig.dense_head_bytes,
-    # bf16 cells): num_head words, not bytes — to_hybrid takes a count
-    head = min(V, max(8, TpuConfig().dense_head_bytes // (2 * D)))
     reps = args.reps
     d, w, c = synth_corpus(V, D, NNZ, 0)
     corpus = Corpus.from_entries(d, w, c, vocab_size=V, num_docs=D)
@@ -128,6 +131,8 @@ def main():
             t("thresholds hist segsum (pallas)",
               lambda: sync(run(plan, ws[1])), reps=reps,
               work=nnz, kind="segsum")
+        del plan
+        del ws  # two nnz-length copies — release before the B stages
     t("thresholds (full fn + int sync)", lambda: int(
         compute_thresholds_jax(
             A.d_word, A.d_val, V, corpus.avg_doc_sz, corpus.nz_docs, k, hp
@@ -136,17 +141,23 @@ def main():
     zetas, _ = compute_thresholds_jax(
         A.d_word, A.d_val, V, corpus.avg_doc_sz, corpus.nz_docs, k, hp
     )
-    # threshold_and_copy streams nnz entries through compare+compact:
-    # ~3 passes of 8 B/entry HBM traffic; pin to the gather row rate
-    t("threshold_and_copy",
-      lambda: sync(threshold_and_copy(A, zetas, chunk=1 << 21)[0].w_val),
+    # the production build stage: threshold + hybrid layout FUSED
+    # (trainer.py "creating thresholded matrix"); streams nnz entries
+    # through compare+compact+gather — pin to the gather row rate.
+    # (At the NYT shape, materializing B and calling to_hybrid(B) holds
+    # two nnz-scale structures and OOMs the chip; production never does.)
+    from isle_tpu.hybrid import hybrid_from_thresholds
+
+    head_bytes = TpuConfig().dense_head_bytes
+    t("hybrid build (fused thresh+copy)",
+      lambda: sync(hybrid_from_thresholds(A, zetas, head_bytes,
+                                          chunk=1 << 21)[0].td_word),
       reps=reps, work=nnz, kind="gather")
-    B, oc = threshold_and_copy(A, zetas, chunk=1 << 21)
-    print(f"B: {B.num_docs} docs, {B.nnz} nnz", flush=True)
-    t("to_hybrid", lambda: sync(to_hybrid(B, head, chunk=1 << 21).td_word),
-      reps=reps, work=int(B.nnz), kind="gather")
-    H = to_hybrid(B, head, chunk=1 << 21)
-    print(f"head covers {H.head_nnz/H.nnz:.0%}", flush=True)
+    H, oc, _frob = hybrid_from_thresholds(A, zetas, head_bytes,
+                                          chunk=1 << 21)
+    del A, zetas  # the pipeline's own lifetime: A is dead once H exists
+    print(f"B: {H.num_docs} docs, {H.nnz} nnz; "
+          f"head covers {H.head_nnz/H.nnz:.0%}", flush=True)
     X = jnp.asarray(
         np.random.default_rng(0).standard_normal((V, 128)).astype(np.float32)
     )
